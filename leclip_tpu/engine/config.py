@@ -1,0 +1,248 @@
+"""Layered configuration system.
+
+Mirrors the reference's yacs workflow — defaults → dataset YAML → trainer
+YAML → CLI ``KEY VALUE`` overrides → freeze (ref: project/my_code/
+train_caption.py:74-166, Dassl dassl/config/defaults.py) — with plain nested
+dataclasses instead of yacs. Dotted-key overrides (``TRAIN.ema True``) keep
+script-level parity with the reference's run_*.sh launchers.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+@dataclass
+class InputConfig:
+    SIZE: Tuple[int, int] = (224, 224)
+    INTERPOLATION: str = "bicubic"
+    PIXEL_MEAN: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    PIXEL_STD: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+    TRANSFORMS: Tuple[str, ...] = ("random_resized_crop", "random_flip", "normalize")
+    TRANSFORMS_TEST: Tuple[str, ...] = ("resize", "center_crop", "normalize")
+    random_resized_crop_scale: Tuple[float, float] = (0.6, 1.0)
+    cutout_proba: float = 0.4
+
+
+@dataclass
+class DatasetConfig:
+    NAME: str = "chatglm_caption_mix"
+    ROOT: str = ""
+    dataset_select: str = "A"
+    caption_feat_root: str = ""
+
+
+@dataclass
+class DataloaderConfig:
+    BATCH_SIZE_TRAIN: int = 1024
+    BATCH_SIZE_TEST: int = 16
+    NUM_WORKERS: int = 8
+    SHUFFLE_TRAIN: bool = True
+
+
+@dataclass
+class ModelConfig:
+    BACKBONE_NAME: str = "RN50"
+    WEIGHTS: str = ""          # path to an OpenAI CLIP .pt / state-dict file
+    INIT_WEIGHTS: str = ""     # optional pretrained prompt-learner weights
+
+
+@dataclass
+class OptimConfig:
+    NAME: str = "sgd"
+    LR: float = 0.01
+    WEIGHT_DECAY: float = 5e-4
+    MOMENTUM: float = 0.9
+    SCHED: str = "cosine"
+    MAX_EPOCH: int = 15
+    WARMUP_EPOCH: int = 1
+    WARMUP_TYPE: str = "constant"
+    WARMUP_CONS_LR: float = 1e-5
+    WARMUP_MIN_LR: float = 1e-5
+
+
+@dataclass
+class CaptionTrainerConfig:
+    N_CTX: int = 16
+    M_CTX: int = 2
+    CSC: bool = False
+    CTX_INIT: str = ""
+    PREC: str = "fp32"         # fp32 | bf16 | amp-bf16
+    CLASS_TOKEN_POSITION: str = "end"
+    GL_merge_rate: float = 0.5
+    use_evidence: bool = False
+
+
+@dataclass
+class TrainConfig:
+    LOSSFUNC: str = "double_ranking"
+    MODEL: str = "DenseCLIP"   # DenseCLIP | CustomCLIP
+    Caption_name: str = "ChatGLM_multi_labels_2k_v2"
+    ema: bool = False
+    momentum: float = 0.995
+    hard_data: str = ""         # '' | 'soft' | 'total'
+    challenge_data: bool = False
+    add_few_shot: bool = False
+    add_n2: bool = False
+    early_stop_epoch: int = -1
+    CHECKPOINT_FREQ: int = 1
+    PRINT_FREQ: int = 5
+    IF_LEARN_SCALE: bool = False
+    IF_LEARN_spatial_SCALE: bool = False
+    spatial_SCALE_text: float = 50.0
+    spatial_SCALE_image: float = 40.0
+    LMPT: bool = False
+    LMPT_LAMBDA: float = 0.5
+
+
+@dataclass
+class TestConfig:
+    SPLIT: str = "test"
+    NO_TEST: bool = False
+    EVALUATOR: str = "MLClassification"
+    EVALUATOR_ACT: str = "default_merge_aux"
+    multi_model: Tuple[str, ...] = ("prompt_learner",)
+    multi_scale: Tuple[int, ...] = (2, 3, 4)
+    save_pth: bool = False
+    save_name: str = ""
+    use_freq: bool = False
+    retrieval_topk: int = 10
+    retrieval_merge: bool = True
+    block_fuse_coef: float = 1.4
+    block_threshold: float = 0.3
+    FINAL_MODEL: str = "last_step"
+
+
+@dataclass
+class Config:
+    INPUT: InputConfig = field(default_factory=InputConfig)
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    DATALOADER: DataloaderConfig = field(default_factory=DataloaderConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    OPTIM: OptimConfig = field(default_factory=OptimConfig)
+    TRAINER: CaptionTrainerConfig = field(default_factory=CaptionTrainerConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    OUTPUT_DIR: str = "./output"
+    RESUME: str = ""
+    SEED: int = 1
+    eval_only: bool = False
+    _frozen: bool = dataclasses.field(default=False, repr=False)
+
+    # ---- layered-merge API -------------------------------------------------
+
+    def clone(self) -> "Config":
+        c = copy.deepcopy(self)
+        object.__setattr__(c, "_frozen", False)
+        return c
+
+    def freeze(self) -> "Config":
+        object.__setattr__(self, "_frozen", True)
+        return self
+
+    def __setattr__(self, key, value):
+        if getattr(self, "_frozen", False):
+            raise AttributeError("Config is frozen")
+        object.__setattr__(self, key, value)
+
+    def merge_dict(self, d: dict, prefix: str = "") -> "Config":
+        for k, v in d.items():
+            path = f"{prefix}{k}"
+            node, leaf = self._resolve(path)
+            if isinstance(v, dict) and dataclasses.is_dataclass(getattr(node, leaf, None)):
+                self.merge_dict(v, prefix=path + ".")
+            else:
+                _set_typed(node, leaf, v)
+        return self
+
+    def merge_yaml(self, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        return self.merge_dict(d)
+
+    def merge_opts(self, opts: Optional[List[str]]) -> "Config":
+        """Free-form ``KEY VALUE KEY VALUE …`` overrides with dotted keys."""
+        if not opts:
+            return self
+        if len(opts) % 2 != 0:
+            raise ValueError(f"opts must be KEY VALUE pairs, got {opts}")
+        for key, raw in zip(opts[::2], opts[1::2]):
+            node, leaf = self._resolve(key)
+            _set_typed(node, leaf, _parse_literal(raw))
+        return self
+
+    def _resolve(self, dotted: str):
+        parts = dotted.split(".")
+        node: Any = self
+        for p in parts[:-1]:
+            if not hasattr(node, p):
+                raise KeyError(f"Unknown config section {p!r} in {dotted!r}")
+            node = getattr(node, p)
+        if not hasattr(node, parts[-1]):
+            raise KeyError(f"Unknown config key {dotted!r}")
+        return node, parts[-1]
+
+    def to_dict(self) -> dict:
+        def conv(obj):
+            if dataclasses.is_dataclass(obj):
+                return {
+                    f.name: conv(getattr(obj, f.name))
+                    for f in dataclasses.fields(obj)
+                    if not f.name.startswith("_")
+                }
+            if isinstance(obj, tuple):
+                return list(obj)
+            return obj
+
+        return conv(self)
+
+
+def _parse_literal(raw: Any) -> Any:
+    if not isinstance(raw, str):
+        return raw
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw
+
+
+def _set_typed(node: Any, leaf: str, value: Any) -> None:
+    current = getattr(node, leaf)
+    if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    elif isinstance(current, bool) and isinstance(value, str):
+        value = value.lower() in ("true", "1", "yes")
+    elif isinstance(current, float) and isinstance(value, int):
+        value = float(value)
+    if getattr(node, "_frozen", False):
+        raise AttributeError("Config is frozen")
+    object.__setattr__(node, leaf, value)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def setup_config(
+    dataset_yaml: str = "",
+    trainer_yaml: str = "",
+    opts: Optional[List[str]] = None,
+    **kwargs,
+) -> Config:
+    """Layered merge in reference order, then freeze."""
+    cfg = default_config()
+    if dataset_yaml:
+        cfg.merge_yaml(dataset_yaml)
+    if trainer_yaml:
+        cfg.merge_yaml(trainer_yaml)
+    for k, v in kwargs.items():
+        node, leaf = cfg._resolve(k)
+        _set_typed(node, leaf, v)
+    cfg.merge_opts(opts)
+    return cfg.freeze()

@@ -1,0 +1,261 @@
+"""DenseCLIP / CustomCLIP forwards — pure functions of (frozen CLIP params,
+trainable prompt params, inputs).
+
+Capability parity with the reference model cores (ref: project/my_code/
+trainers/Caption_distill_double.py:310-559):
+
+* **Train branch ("texts-as-images")**: captions run through the frozen text
+  tower with ALL 77 positions kept; the EOT feature plays the global image
+  feature and the per-token features play spatial features; pad positions are
+  masked with -10000; Winner-Take-All re-weighting + evidence-prompt spatial
+  softmax aggregate per-position logits into `logits_local` (:473-545).
+* **Test branch**: frozen image tower gives a global feature (attention pool,
+  no positional embedding) and a dense v/c-projected feature map; optional
+  top-k retrieval augmentation against a caption feature bank; same WTA /
+  evidence aggregation over spatial positions (:402-472).
+* **CustomCLIP**: the global-logits-only variant (:310-352).
+
+This symmetry (train on token positions, test on spatial positions) is the
+core trick; both branches share `_aggregate_local` so it cannot drift.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .clip import CLIPConfig, clip_encode_image
+from .prompt import assemble_prompts
+from .resnet import project_dense
+from .text import encode_text_embeds, encode_text_sequence
+from .transformer import quick_gelu  # noqa: F401  (re-export convenience)
+
+NEG_MASK_VALUE = -10000.0
+FIXED_LOGIT_SCALE = 4.0
+
+
+class DenseFlags(NamedTuple):
+    """Static method flags (hashable → usable as jit static argument)."""
+
+    use_evidence: bool = False
+    learn_scale: bool = False
+    learn_spatial_scale: bool = False
+    spatial_scale_text: float = 50.0
+    spatial_scale_image: float = 50.0
+    neg_prompt_wcls: bool = True
+    attention_impl: str = "auto"
+    remat: bool = False
+
+
+def _normalize(x, axis=-1):
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def prompt_text_features(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    trainable: dict,
+    constants: dict,
+    flags: DenseFlags,
+    include_evidence: Optional[bool] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Encode the three prompt sets → L2-normalised class embeddings.
+
+    At test time call once and cache (the reference caches after the first
+    batch, Caption_distill_double.py:421-439); at train time call per step —
+    gradients flow into the learnable contexts."""
+    prompts, prompts_neg, prompts_evd = assemble_prompts(
+        trainable, constants, neg_prompt_wcls=flags.neg_prompt_wcls
+    )
+    heads = clip_cfg.transformer_heads
+    eot = constants["eot_idx"]
+    text = clip_params["text"]
+
+    def enc(embeds):
+        return _normalize(
+            encode_text_embeds(
+                text, embeds, eot, heads, impl=flags.attention_impl, remat=flags.remat
+            )
+        )
+
+    out = {"pos": enc(prompts), "neg": enc(prompts_neg)}
+    if include_evidence if include_evidence is not None else flags.use_evidence:
+        out["evd"] = enc(prompts_evd)
+    return out
+
+
+def _scales(trainable: dict, flags: DenseFlags, train: bool):
+    logit_scale = (
+        jnp.exp(trainable["temperature"]) if flags.learn_scale else FIXED_LOGIT_SCALE
+    )
+    fixed_spatial = flags.spatial_scale_text if train else flags.spatial_scale_image
+    tmp_scale = (
+        jnp.exp(trainable["spatial_T"]) if flags.learn_spatial_scale else fixed_spatial
+    )
+    return logit_scale, tmp_scale
+
+
+def _aggregate_local(
+    spatial_feats: jnp.ndarray,  # [B, P, E] L2-normalised per-position features
+    text_feats: Dict[str, jnp.ndarray],
+    logit_scale,
+    tmp_scale,
+    use_evidence: bool,
+    pos_mask: Optional[jnp.ndarray] = None,  # [B, P] additive (-10000 at pads)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared local-logits aggregation (train token axis == test spatial axis).
+
+    Returns (logits_local [B, C], logits_neg [B, P, C])."""
+    logits_neg = jnp.einsum(
+        "bpe,ce->bpc", spatial_feats, text_feats["neg"],
+        preferred_element_type=jnp.float32,
+    )
+    if pos_mask is not None:
+        logits_neg = logits_neg + pos_mask[:, :, None]
+    if use_evidence:
+        logits_evd = jnp.einsum(
+            "bpe,ce->bpc", spatial_feats, text_feats["evd"],
+            preferred_element_type=jnp.float32,
+        )
+        if pos_mask is not None:
+            logits_evd = logits_evd + pos_mask[:, :, None]
+        # Winner-Take-All regularisation: sharpen per-position class logits by
+        # their own max before the class softmax (ref :463-465,507-509)
+        w = jax.nn.softmax(
+            tmp_scale * logits_neg * (logits_neg.max(-1, keepdims=True) + 1.0), axis=-1
+        )
+        logits_neg = logits_neg * w
+        prob_spatial = jax.nn.softmax(logits_evd * tmp_scale, axis=1)
+    else:
+        prob_spatial = jax.nn.softmax(logits_neg * tmp_scale, axis=1)
+    logits_local = jnp.sum(logit_scale * logits_neg * prob_spatial, axis=1)
+    return logits_local, logits_neg
+
+
+def dense_train_forward(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    trainable: dict,
+    constants: dict,
+    captions: jnp.ndarray,  # [B, 77] int32 token ids
+    flags: DenseFlags,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Texts-as-images training forward → (logits_global, logits_local)."""
+    text = clip_params["text"]
+    heads = clip_cfg.transformer_heads
+    embeds = text["token_embedding"][captions]
+    # Frozen caption features: block any (zero) gradient bookkeeping.
+    seq = jax.lax.stop_gradient(
+        encode_text_sequence(text, embeds, heads, impl=flags.attention_impl)
+    )  # [B, L, E]
+    eot = captions.argmax(-1)
+    global_feat = _normalize(
+        jnp.take_along_axis(seq, eot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    )
+    spatial_feats = _normalize(seq)
+    pos_mask = (captions == 0).astype(jnp.float32) * NEG_MASK_VALUE
+
+    feats = prompt_text_features(clip_params, clip_cfg, trainable, constants, flags)
+    logit_scale, tmp_scale = _scales(trainable, flags, train=True)
+    logits_global = logit_scale * global_feat @ feats["pos"].T
+    logits_local, _ = _aggregate_local(
+        spatial_feats, feats, logit_scale, tmp_scale, flags.use_evidence, pos_mask
+    )
+    return logits_global, logits_local
+
+
+def retrieval_augment(
+    global_feat: jnp.ndarray,  # [B, E] L2-normalised
+    caption_bank: jnp.ndarray,  # [N, E] L2-normalised caption features
+    topk: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k caption retrieval: mean of the k nearest bank features is
+    averaged 50/50 into the image feature (ref :444-448). Returns
+    (augmented_feat [B,E], topk_scores [B,k])."""
+    sims = jnp.einsum(
+        "be,ne->bn", global_feat, caption_bank, preferred_element_type=jnp.float32
+    )
+    scores, idx = jax.lax.top_k(sims, topk)
+    selected = caption_bank[idx]  # [B, k, E]
+    merged = (global_feat + selected.mean(axis=1).astype(global_feat.dtype)) / 2.0
+    return merged, scores
+
+
+class DenseTestOutput(NamedTuple):
+    logits_global: jnp.ndarray   # [B, C]
+    logits_local: jnp.ndarray    # [B, C]
+    logits_neg: jnp.ndarray      # [B, P, C]
+    raw_sim: jnp.ndarray         # [B, C] un-augmented image@pos-text cosine
+    topk_sim_scores: jnp.ndarray  # [B, k] retrieval similarities (or zeros)
+
+
+def dense_test_forward(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    trainable: dict,
+    text_feats: Dict[str, jnp.ndarray],
+    images: jnp.ndarray,  # [B, H, W, 3] CLIP-normalised
+    flags: DenseFlags,
+    caption_bank: Optional[jnp.ndarray] = None,
+    topk: int = 10,
+) -> DenseTestOutput:
+    """Image-side test forward with dense + global logits."""
+    global_raw, _, feat_map = clip_encode_image(
+        clip_params, clip_cfg, images, dense=True, if_pos=False,
+        impl=flags.attention_impl,
+    )
+    if clip_cfg.is_vit:
+        dense = feat_map  # ViT dense tokens are already projected embeddings
+        b = dense.shape[0]
+        dense = dense.reshape(b, -1, dense.shape[-1])
+    else:
+        dense = project_dense(feat_map, clip_params["visual"]["attnpool"])
+    spatial_feats = _normalize(dense)
+    global_feat = _normalize(global_raw)
+
+    raw_sim = jnp.einsum(
+        "be,ce->bc", global_feat, text_feats["pos"], preferred_element_type=jnp.float32
+    )
+    if caption_bank is not None:
+        global_feat, topk_scores = retrieval_augment(global_feat, caption_bank, topk)
+    else:
+        topk_scores = jnp.zeros((images.shape[0], topk), jnp.float32)
+
+    logit_scale, tmp_scale = _scales(trainable, flags, train=False)
+    logits_global = logit_scale * global_feat @ text_feats["pos"].T
+    logits_local, logits_neg = _aggregate_local(
+        spatial_feats, text_feats, logit_scale, tmp_scale, flags.use_evidence
+    )
+    return DenseTestOutput(logits_global, logits_local, logits_neg, raw_sim, topk_scores)
+
+
+# ----------------------------- CustomCLIP ----------------------------------
+
+
+def custom_clip_train_forward(
+    clip_params, clip_cfg, trainable, constants, captions, flags: DenseFlags
+):
+    """Global-only variant (ref CustomCLIP :338-352): caption EOT feature vs
+    positive prompt features."""
+    text = clip_params["text"]
+    heads = clip_cfg.transformer_heads
+    embeds = text["token_embedding"][captions]
+    feat = jax.lax.stop_gradient(
+        encode_text_embeds(text, embeds, captions.argmax(-1), heads,
+                           impl=flags.attention_impl)
+    )
+    feat = _normalize(feat)
+    feats = prompt_text_features(
+        clip_params, clip_cfg, trainable, constants, flags, include_evidence=False
+    )
+    return FIXED_LOGIT_SCALE * feat @ feats["pos"].T, None
+
+
+def custom_clip_test_forward(
+    clip_params, clip_cfg, trainable, text_feats, images, flags: DenseFlags
+):
+    img = _normalize(clip_encode_image(clip_params, clip_cfg, images,
+                                       impl=flags.attention_impl))
+    return FIXED_LOGIT_SCALE * img @ text_feats["pos"].T, None

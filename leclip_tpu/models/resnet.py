@@ -1,0 +1,238 @@
+"""ModifiedResNet (CLIP RN50-family) — pure-functional JAX, NHWC.
+
+Capability parity with the reference vision tower (ref: project/my_code/clip/
+model.py:10-190): 3-conv stem with avgpool, anti-aliased strided bottlenecks
+(avgpool before the strided conv), and the attention-pool head. The two
+surgical behaviors the method depends on are preserved:
+
+* the attention pool returns ``(global_feat, feature_map)`` (model.py:124-127)
+* ``if_pos=False`` skips the positional embedding, and non-7×7 grids get a
+  bicubic-resized positional embedding (model.py:66-103)
+
+TPU-first choices: NHWC layout + HWIO conv kernels (MXU-friendly), identical
+bottleneck blocks within a stage stacked and scanned, BN folded as an affine
+at inference (the tower is always frozen in this framework).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention_core
+
+_BN_EPS = 1e-5
+
+
+def conv2d(x, kernel, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def batch_norm(x, p):
+    """Inference batch norm: affine with running stats."""
+    scale = p["scale"] * jax.lax.rsqrt(p["var"] + _BN_EPS)
+    offset = p["bias"] - p["mean"] * scale
+    return x * scale.astype(x.dtype) + offset.astype(x.dtype)
+
+
+def avg_pool(x, window: int):
+    if window <= 1:
+        return x
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, window, window, 1), "VALID"
+    ) / (window * window)
+
+
+def bottleneck(x, p, stride: int):
+    """conv1x1-bn-relu → conv3x3-bn-relu → avgpool(stride) → conv1x1-bn,
+    with an avgpool+conv1x1+bn shortcut when shapes change."""
+    out = jax.nn.relu(batch_norm(conv2d(x, p["conv1"]), p["bn1"]))
+    out = jax.nn.relu(batch_norm(conv2d(out, p["conv2"]), p["bn2"]))
+    out = avg_pool(out, stride)
+    out = batch_norm(conv2d(out, p["conv3"]), p["bn3"])
+    if "downsample" in p:
+        identity = avg_pool(x, stride)
+        identity = batch_norm(conv2d(identity, p["downsample"]["conv"]), p["downsample"]["bn"])
+    else:
+        identity = x
+    return jax.nn.relu(out + identity)
+
+
+def run_stage(x, stage_params, stride: int):
+    x = bottleneck(x, stage_params["block0"], stride)
+    rest = stage_params.get("rest")
+    if rest is not None:
+        def body(h, blk):
+            return bottleneck(h, blk, 1), None
+        x, _ = jax.lax.scan(body, x, rest)
+    return x
+
+
+def interpolate_pos_embedding(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bicubic-resize the (N²+1, C) pos embedding's grid part to (h, w)
+    (ref model.py:66-87); identity when the grid already matches."""
+    n = pos.shape[0] - 1
+    side = int(math.sqrt(n))
+    if h == w and h * w == n:
+        return pos
+    cls_pos, grid_pos = pos[:1], pos[1:]
+    grid = grid_pos.reshape(side, side, -1)
+    grid = jax.image.resize(grid, (h, w, grid.shape[-1]), method="bicubic")
+    return jnp.concatenate([cls_pos, grid.reshape(h * w, -1)], axis=0)
+
+
+def attention_pool(
+    feat: jnp.ndarray, p: dict, n_heads: int, if_pos: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """QKV attention pool over a [B, H, W, C] feature map.
+
+    Prepends the spatial mean as a query token; returns
+    (global [B, out], feature_map [B, H, W, out])."""
+    b, h, w, c = feat.shape
+    x = feat.reshape(b, h * w, c)
+    x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)  # [B, HW+1, C]
+    if if_pos:
+        pos = interpolate_pos_embedding(p["positional_embedding"], h, w)
+        x = x + pos[None].astype(x.dtype)
+
+    def proj(y, name):
+        return y @ p[name]["kernel"].astype(y.dtype) + p[name]["bias"].astype(y.dtype)
+
+    q, k, v = proj(x, "q_proj"), proj(x, "k_proj"), proj(x, "v_proj")
+    t = x.shape[1]
+
+    def heads(y):
+        return y.reshape(b, t, n_heads, c // n_heads).transpose(0, 2, 1, 3)
+
+    out = attention_core(heads(q), heads(k), heads(v))
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    out = proj(out, "c_proj")
+    return out[:, 0], out[:, 1:].reshape(b, h, w, -1)
+
+
+def project_dense(feature_map: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Per-position v_proj→c_proj of a [B, H, W, C] map → [B, H*W, out]; the
+    dense-logits path (ref Caption_distill_double.py:369-373,409-411)."""
+    b, h, w, c = feature_map.shape
+    x = feature_map.reshape(b, h * w, c)
+    x = x @ p["v_proj"]["kernel"].astype(x.dtype) + p["v_proj"]["bias"].astype(x.dtype)
+    x = x @ p["c_proj"]["kernel"].astype(x.dtype) + p["c_proj"]["bias"].astype(x.dtype)
+    return x
+
+
+def resnet_features(x: jnp.ndarray, params: dict) -> jnp.ndarray:
+    """Image [B, H, W, 3] → layer4 feature map [B, H/32, W/32, width*32]."""
+    for i in (1, 2, 3):
+        x = jax.nn.relu(batch_norm(conv2d(x, params[f"conv{i}"], stride=2 if i == 1 else 1), params[f"bn{i}"]))
+    x = avg_pool(x, 2)
+    for i, stride in zip((1, 2, 3, 4), (1, 2, 2, 2)):
+        x = run_stage(x, params[f"layer{i}"], stride)
+    return x
+
+
+def encode_image_resnet(
+    x: jnp.ndarray, params: dict, n_heads: int, dense: bool = False, if_pos: bool = True
+):
+    feat = resnet_features(x, params)
+    g, fmap = attention_pool(feat, params["attnpool"], n_heads, if_pos=if_pos)
+    if dense:
+        return g, fmap, feat
+    return g
+
+
+# ----------------------------- init ----------------------------------------
+
+
+def _init_conv(key, kh, kw, cin, cout, dtype):
+    fan_in = kh * kw * cin
+    return (jax.random.normal(key, (kh, kw, cin, cout)) * (2.0 / fan_in) ** 0.5).astype(dtype)
+
+
+def _init_bn(c, dtype, zero_scale=False):
+    return {
+        "scale": jnp.zeros((c,), dtype) if zero_scale else jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def _init_bottleneck(key, cin, planes, stride, dtype):
+    cout = planes * 4
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _init_conv(ks[0], 1, 1, cin, planes, dtype),
+        "bn1": _init_bn(planes, dtype),
+        "conv2": _init_conv(ks[1], 3, 3, planes, planes, dtype),
+        "bn2": _init_bn(planes, dtype),
+        "conv3": _init_conv(ks[2], 1, 1, planes, cout, dtype),
+        # bn3 gamma zero-init, matching reference initialize_parameters
+        "bn3": _init_bn(cout, dtype, zero_scale=True),
+    }
+    if stride > 1 or cin != cout:
+        p["downsample"] = {
+            "conv": _init_conv(ks[3], 1, 1, cin, cout, dtype),
+            "bn": _init_bn(cout, dtype),
+        }
+    return p
+
+
+def init_resnet_params(
+    key,
+    layers: Sequence[int],
+    output_dim: int,
+    input_resolution: int = 224,
+    width: int = 64,
+    dtype=jnp.float32,
+) -> dict:
+    ks = jax.random.split(key, 16)
+    p = {
+        "conv1": _init_conv(ks[0], 3, 3, 3, width // 2, dtype),
+        "bn1": _init_bn(width // 2, dtype),
+        "conv2": _init_conv(ks[1], 3, 3, width // 2, width // 2, dtype),
+        "bn2": _init_bn(width // 2, dtype),
+        "conv3": _init_conv(ks[2], 3, 3, width // 2, width, dtype),
+        "bn3": _init_bn(width, dtype),
+    }
+    cin = width
+    for i, (n_blocks, stride) in enumerate(zip(layers, (1, 2, 2, 2)), start=1):
+        planes = width * (2 ** (i - 1))
+        stage_key = jax.random.split(ks[2 + i], n_blocks)
+        block0 = _init_bottleneck(stage_key[0], cin, planes, stride, dtype)
+        cin = planes * 4
+        stage = {"block0": block0}
+        if n_blocks > 1:
+            rest = [_init_bottleneck(k, cin, planes, 1, dtype) for k in stage_key[1:]]
+            stage["rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *rest)
+        p[f"layer{i}"] = stage
+
+    embed_dim = width * 32
+    spacial = input_resolution // 32
+    std = embed_dim**-0.5
+    ka = jax.random.split(ks[10], 5)
+
+    def lin(k, cin_, cout_):
+        return {
+            "kernel": (jax.random.normal(k, (cin_, cout_)) * std).astype(dtype),
+            "bias": jnp.zeros((cout_,), dtype),
+        }
+
+    p["attnpool"] = {
+        "positional_embedding": (
+            jax.random.normal(ka[0], (spacial**2 + 1, embed_dim)) / embed_dim**0.5
+        ).astype(dtype),
+        "q_proj": lin(ka[1], embed_dim, embed_dim),
+        "k_proj": lin(ka[2], embed_dim, embed_dim),
+        "v_proj": lin(ka[3], embed_dim, embed_dim),
+        "c_proj": lin(ka[4], embed_dim, output_dim),
+    }
+    return p

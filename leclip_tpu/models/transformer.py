@@ -1,0 +1,94 @@
+"""Shared transformer machinery (pre-LN residual blocks, scan-over-layers).
+
+Used by both the text tower and the ViT. Layers are stacked along a leading
+axis and iterated with ``lax.scan`` so XLA compiles ONE block body instead of
+12+ unrolled copies — a TPU-first structure the reference's module-per-layer
+design has no analogue for (ref behavior: project/my_code/clip/model.py:207-239).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
+    """LayerNorm computed in fp32, result cast back (fp16/bf16-safe, matching
+    the reference's LayerNorm subclass, clip/model.py:193-199)."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(orig)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x) — NOT exact GELU."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None, impl: str = "auto"):
+    """One pre-LN residual attention block over [B, T, D]."""
+    y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+    x = x + multi_head_attention(y, p["attn"], n_heads, mask=mask, impl=impl)
+    y = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
+    return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
+
+
+def run_transformer(
+    x: jnp.ndarray,
+    stacked: dict,
+    n_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Apply L stacked residual blocks via lax.scan. ``stacked`` leaves have a
+    leading layer axis; ``remat`` enables rematerialisation for memory-bound
+    training regimes."""
+
+    def body(h, layer_params):
+        return residual_block(h, layer_params, n_heads, mask=mask, impl=impl), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+def init_block_stack(key, layers: int, width: int, dtype=jnp.float32) -> dict:
+    """Initialise L stacked blocks with the reference's init scheme
+    (clip/model.py:352-359): attn std w^-0.5, out/proj std (w^-0.5)(2L)^-0.5,
+    fc std (2w)^-0.5."""
+    proj_std = (width**-0.5) * ((2 * layers) ** -0.5)
+    attn_std = width**-0.5
+    fc_std = (2 * width) ** -0.5
+    ks = jax.random.split(key, 4)
+
+    def normal(k, shape, std):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    zeros = lambda shape: jnp.zeros(shape, dtype)
+    ones = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "ln_1": {"scale": ones((layers, width)), "bias": zeros((layers, width))},
+        "attn": {
+            "qkv_kernel": normal(ks[0], (layers, width, 3 * width), attn_std),
+            "qkv_bias": zeros((layers, 3 * width)),
+            "out_kernel": normal(ks[1], (layers, width, width), proj_std),
+            "out_bias": zeros((layers, width)),
+        },
+        "ln_2": {"scale": ones((layers, width)), "bias": zeros((layers, width))},
+        "mlp": {
+            "fc_kernel": normal(ks[2], (layers, width, 4 * width), fc_std),
+            "fc_bias": zeros((layers, 4 * width)),
+            "proj_kernel": normal(ks[3], (layers, 4 * width, width), proj_std),
+            "proj_bias": zeros((layers, width)),
+        },
+    }

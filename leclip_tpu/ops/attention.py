@@ -1,0 +1,87 @@
+"""Multi-head attention ops.
+
+The single attention entry point used by every tower (text transformer, ViT,
+RN50 attention-pool). Two implementations:
+
+* ``xla``   — plain einsum/softmax; XLA fuses this well for short sequences
+  (CLIP text is 77 tokens, RN50 pool is 50).
+* ``pallas`` — a fused flash-attention TPU kernel (see
+  :mod:`leclip_tpu.ops.flash_attention`) for longer sequences / big batches.
+
+Weights follow the packed-QKV layout of the reference towers
+(ref: project/my_code/clip/model.py:104-122,211) but stored as ``[in, out]``
+kernels so activations hit the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_MIN_SEQ = 128  # below this, plain XLA attention wins
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, H, T, Dh] tensors.
+
+    ``mask`` is an additive [T, T] (or broadcastable) float mask. Softmax is
+    computed in fp32 regardless of input dtype.
+    """
+    seq = q.shape[-2]
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and seq >= _PALLAS_MIN_SEQ) else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    params: dict,
+    n_heads: int,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Self-attention over [B, T, D] with packed-QKV parameters.
+
+    params: {qkv_kernel [D,3D], qkv_bias [3D], out_kernel [D,D], out_bias [D]}
+    """
+    b, t, d = x.shape
+    qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(y):
+        return y.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+    out = attention_core(heads(q), heads(k), heads(v), mask=mask, impl=impl)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return out @ params["out_kernel"] + params["out_bias"]
+
+
+@functools.lru_cache()
+def causal_mask(context_length: int) -> jnp.ndarray:
+    """Additive causal mask (upper triangle = -inf), as the text tower uses."""
+    mask = jnp.full((context_length, context_length), float("-inf"), jnp.float32)
+    return jnp.triu(mask, k=1)

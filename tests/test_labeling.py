@@ -1,0 +1,79 @@
+"""Caption→label extraction behavior."""
+
+import numpy as np
+
+from leclip_tpu.data.labeling import CaptionLabeler, contains_chinese
+from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
+
+
+def idx(name):
+    return COCO_OBJECT_CATEGORIES.index(name)
+
+
+def test_basic_extraction():
+    lab = CaptionLabeler()
+    L = lab("A person is riding a bicycle through a park.")
+    assert L[idx("person")] == 1 and L[idx("bicycle")] == 1
+    assert sum(L) == 2
+
+
+def test_plurals_and_synonyms():
+    lab = CaptionLabeler()
+    L = lab("Two dogs chase three cats near some benches.")
+    assert L[idx("dog")] == 1 and L[idx("cat")] == 1 and L[idx("bench")] == 1
+    L = lab("a woman with a purse and an icebox")
+    assert L[idx("person")] == 1
+    assert L[idx("handbag")] == 1
+    assert L[idx("refrigerator")] == 1
+
+
+def test_compound_before_simple():
+    lab = CaptionLabeler()
+    L = lab("a hot dog on a dining table")
+    assert L[idx("hot dog")] == 1
+    assert L[idx("dog")] == 0  # consumed by the compound
+    assert L[idx("dining table")] == 1
+    L = lab("a teddy bear and a bear")
+    assert L[idx("teddy bear")] == 1 and L[idx("bear")] == 1
+
+
+def test_collapsed_compounds():
+    lab = CaptionLabeler()
+    L = lab("he rides a hotdog stand wait no a skateboard")
+    assert L[idx("hot dog")] == 1 and L[idx("skateboard")] == 1
+
+
+def test_verb_forms_gate():
+    lab = CaptionLabeler()
+    # 'skiing' → 'ski' (synonym word), but 'running' must NOT become a label
+    L = lab("a man skiing down a slope")
+    assert L[idx("skis")] == 1
+    # 'running' must NOT lemmatize to anything ('run' is not a synonym word),
+    # and 'child' is not in the person synset (matching the reference table)
+    L2 = lab("a child running in the grass")
+    assert sum(L2) == 0
+    L3 = lab("a man running in the grass")
+    assert sum(L3) == 1 and L3[idx("person")] == 1
+
+
+def test_irregulars():
+    lab = CaptionLabeler()
+    L = lab("several people and two women with knives and scissors")
+    assert L[idx("person")] == 1
+    assert L[idx("knife")] == 1
+    assert L[idx("scissors")] == 1
+
+
+def test_chinese_filter():
+    assert contains_chinese("一个人")
+    assert not contains_chinese("a person")
+
+
+def test_deterministic():
+    lab1, lab2 = CaptionLabeler(), CaptionLabeler()
+    cap = "a sports ball near a baseball bat and a baseball glove"
+    assert lab1(cap) == lab2(cap)
+    L = lab1(cap)
+    assert L[idx("sports ball")] == 1
+    assert L[idx("baseball bat")] == 1
+    assert L[idx("baseball glove")] == 1

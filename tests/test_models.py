@@ -1,0 +1,161 @@
+"""Model-tower numerics: parity vs the reference torch definitions (tiny
+configs, converted weights) and internal invariants."""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leclip_tpu.models.clip import (
+    CLIPConfig,
+    PRESETS,
+    clip_encode_image,
+    clip_encode_text,
+    config_from_state_dict,
+    init_clip_params,
+)
+from leclip_tpu.models.convert import convert_state_dict
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+TINY_RN = CLIPConfig(
+    embed_dim=64, image_resolution=64, vision_layers=(1, 1, 1, 1), vision_width=8,
+    vision_patch_size=None, vocab_size=1000, transformer_width=128,
+    transformer_heads=2, transformer_layers=2,
+)
+TINY_VIT = CLIPConfig(
+    embed_dim=64, image_resolution=64, vision_layers=2, vision_width=128,
+    vision_patch_size=16, vocab_size=1000, transformer_width=128,
+    transformer_heads=2, transformer_layers=2,
+)
+
+
+def _ref_model_module():
+    spec = importlib.util.spec_from_file_location(
+        "refmodel", f"{REFERENCE_ROOT}/project/my_code/clip/model.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _build_ref(cfg: CLIPConfig):
+    import torch
+
+    rm = _ref_model_module()
+    torch.manual_seed(0)
+    model = rm.CLIP(
+        embed_dim=cfg.embed_dim,
+        image_resolution=cfg.image_resolution,
+        vision_layers=cfg.vision_layers if not cfg.is_vit else cfg.vision_layers,
+        vision_width=cfg.vision_width,
+        vision_patch_size=cfg.vision_patch_size,
+        context_length=cfg.context_length,
+        vocab_size=cfg.vocab_size,
+        transformer_width=cfg.transformer_width,
+        transformer_heads=cfg.transformer_heads,
+        transformer_layers=cfg.transformer_layers,
+    ).eval().float()
+    return model
+
+
+def test_init_shapes_rn():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
+    g = clip_encode_image(params, TINY_RN, jnp.zeros((2, 64, 64, 3)))
+    assert g.shape == (2, 64)
+    g, fmap, feat = clip_encode_image(
+        params, TINY_RN, jnp.zeros((2, 64, 64, 3)), dense=True, if_pos=False
+    )
+    assert fmap.shape == (2, 2, 2, 64)
+    assert feat.shape == (2, 2, 2, 8 * 32)
+
+
+def test_init_shapes_vit():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    g, tokens = clip_encode_image(params, TINY_VIT, jnp.zeros((2, 64, 64, 3)), dense=True)
+    assert g.shape == (2, 64)
+    assert tokens.shape == (2, 16, 64)
+
+
+def test_text_eot_position_invariance():
+    """Padding after EOT must not change the text feature (causal mask)."""
+    params = init_clip_params(jax.random.PRNGKey(1), TINY_RN)
+    toks = np.zeros((1, 77), np.int32)
+    toks[0, :5] = [999, 3, 4, 5, 998]  # sot-ish ids; eot=998<999 → use 999 at end
+    toks[0, 4] = 999
+    a = clip_encode_text(params, TINY_RN, jnp.asarray(toks))
+    toks2 = toks.copy()
+    toks2[0, 10] = 0  # already zero — identity; now check junk after argmax pos
+    b = clip_encode_text(params, TINY_RN, jnp.asarray(toks2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize("cfg", [TINY_RN, TINY_VIT], ids=["rn", "vit"])
+def test_parity_with_reference(cfg):
+    import torch
+
+    ref = _build_ref(cfg)
+    got_cfg, params = convert_state_dict({k: v.numpy() for k, v in ref.state_dict().items()})
+    assert got_cfg == cfg
+
+    torch.manual_seed(1)
+    toks = torch.randint(1, cfg.vocab_size - 1, (3, 77))
+    toks[:, 40] = cfg.vocab_size - 1
+    with torch.no_grad():
+        ref_txt = ref.encode_text(toks).numpy()
+    jax_txt = np.asarray(clip_encode_text(params, cfg, jnp.asarray(toks.numpy(), jnp.int32)))
+    np.testing.assert_allclose(ref_txt, jax_txt, atol=2e-4)
+
+    img = torch.randn(2, 3, cfg.image_resolution, cfg.image_resolution)
+    with torch.no_grad():
+        ref_img = ref.encode_image(img).numpy()
+    jax_img = np.asarray(
+        clip_encode_image(params, cfg, jnp.asarray(img.permute(0, 2, 3, 1).numpy()))
+    )
+    np.testing.assert_allclose(ref_img, jax_img, atol=2e-3)
+
+
+@requires_reference
+def test_dense_attnpool_parity_no_pos():
+    """if_pos=False attention pool and the v/c-proj dense map match the
+    reference's DenseCLIP visual path (Caption_distill_double.py:385-413)."""
+    import torch
+
+    ref = _build_ref(TINY_RN)
+    _, params = convert_state_dict({k: v.numpy() for k, v in ref.state_dict().items()})
+    img = torch.randn(2, 3, 64, 64)
+    v = ref.visual
+    with torch.no_grad():
+        x = img
+        for conv, bn in [(v.conv1, v.bn1), (v.conv2, v.bn2), (v.conv3, v.bn3)]:
+            x = v.relu(bn(conv(x)))
+        x = v.avgpool(x)
+        x = v.layer4(v.layer3(v.layer2(v.layer1(x))))
+        ref_g, _ = v.attnpool(x, if_pos=False)
+        # dense projection path
+        b, c, h, w = x.shape
+        t = x.reshape(b, c, h * w).permute(2, 0, 1)
+        t = torch.nn.functional.linear(t, v.attnpool.v_proj.weight, v.attnpool.v_proj.bias)
+        t = torch.nn.functional.linear(t, v.attnpool.c_proj.weight, v.attnpool.c_proj.bias)
+        ref_dense = t.permute(1, 0, 2).numpy()  # [B, HW, out]
+
+    gj, _, featj = clip_encode_image(
+        params, TINY_RN, jnp.asarray(img.permute(0, 2, 3, 1).numpy()), dense=True, if_pos=False
+    )
+    np.testing.assert_allclose(ref_g.numpy(), np.asarray(gj), atol=2e-3)
+
+    from leclip_tpu.models.resnet import project_dense
+
+    dense = np.asarray(project_dense(featj, params["visual"]["attnpool"]))
+    np.testing.assert_allclose(ref_dense, dense, atol=2e-3)
+
+
+def test_config_from_state_dict_presets():
+    """Geometry inference round-trips through init_clip_params param shapes."""
+    cfg = TINY_VIT
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    assert params["visual"]["positional_embedding"].shape[0] == cfg.grid_size**2 + 1
+    assert PRESETS["RN50"].vision_heads == 32
+    assert PRESETS["ViT-B/16"].vision_heads == 12
