@@ -1,0 +1,210 @@
+"""Registered dataset builders — the five caption-distillation dataset
+variants of the reference (ref: project/my_code/datasets/
+pazhou_distill_chatglm*.py), producing
+
+    CaptionDataset(tokens [N,77] int32, labels [N,C] int8,
+                   test_images: list of paths, classnames)
+
+Variants:
+* ``chatglm_caption_mix``   — the "best"-model recipe: single-label corpora,
+  multi-label corpora (cached), templates (+ optional N² pairs), few-shot
+  component prompts, full + sampled category-set combinations (mix.py:70-366)
+* ``chatglm_caption_check`` — hard-class curricula (diff/diffh/difft):
+  everything restricted/re-labeled to a hard-class list, optional challenge
+  JSONL corpus (check.py)
+* ``chatglm_caption_zema``  — mix minus few-shot & subset sampling; uses
+  imnames_{A|B}.json (zema.py)
+* ``chatglm_caption_zuan``  — mix minus the category-set block (zuan.py)
+* ``chatglm_caption``       — minimal single-label-only variant (pazhou_distill_chatglm.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from os.path import join
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..engine.config import Config
+from ..utils.registry import DATASET_REGISTRY
+from . import corpora
+from .labeling import CaptionLabeler
+from .tokenizer import tokenize
+from .vocab import COCO_OBJECT_CATEGORIES
+
+
+@dataclass
+class CaptionDataset:
+    tokens: np.ndarray            # [N, 77] int32 training caption tokens
+    labels: np.ndarray            # [N, C] int8 multi-hot labels
+    test_images: List[str]        # image paths (unlabeled test split)
+    classnames: List[str]
+    caption_root: str = ""
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classnames)
+
+    @property
+    def val_images(self) -> List[str]:
+        # val = every 100th test image (pipeline smoke split, mix.py:364)
+        return self.test_images[0::100]
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+
+def _load_classnames(root: str) -> List[str]:
+    path = join(root, "classes.txt")
+    if os.path.exists(path):
+        with open(path) as f:
+            return [line.strip() for line in f if line.strip()]
+    return list(COCO_OBJECT_CATEGORIES)
+
+
+def _load_test_images(root: str, select: str, final: bool = True) -> List[str]:
+    name = f"imnames_final{select}.json" if final else f"imnames_{select}.json"
+    path = join(root, name)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        imnames = json.load(f)
+    img_dir = join(root, "images")
+    return [join(img_dir, n.split("/")[-1]) for n in imnames]
+
+
+def _caption_root(cfg: Config) -> str:
+    return join(os.path.abspath(os.path.expanduser(cfg.DATASET.caption_feat_root)),
+                "generated_captions")
+
+
+def _data_root(cfg: Config) -> str:
+    root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT)) if cfg.DATASET.ROOT else ""
+    return join(root, f"official_{cfg.DATASET.dataset_select.lower()}") if root else ""
+
+
+def _stack(parts) -> tuple:
+    toks = np.concatenate([p[0] for p in parts if len(p[0])], axis=0)
+    labs = np.concatenate([p[1] for p in parts if len(p[1])], axis=0)
+    return toks, labs
+
+
+def _text_part(samples):
+    return corpora.tokenize_text_samples(samples)
+
+
+@DATASET_REGISTRY.register(name="chatglm_caption_mix")
+def build_mix(cfg: Config) -> CaptionDataset:
+    croot = _caption_root(cfg)
+    droot = _data_root(cfg)
+    classnames = _load_classnames(droot)
+    labeler = CaptionLabeler()
+    parts = [_text_part(corpora.load_single_label_corpus(croot, labeler))]
+    for name in str(cfg.TRAIN.Caption_name).split(" "):
+        if name:
+            parts.append(corpora.load_multi_label_corpus(croot, name, labeler))
+    parts.append(_text_part(corpora.template_samples(classnames, add_n2=cfg.TRAIN.add_n2)))
+    if cfg.TRAIN.add_few_shot:
+        parts.append(_text_part(corpora.few_shot_component_samples(
+            join(croot, "components_of_few_shot_classes.json"), classnames)))
+    parts.append(_text_part(corpora.category_set_samples(
+        join(croot, "category_sets.txt"), len(classnames), seed=cfg.SEED)))
+    tokens, labels = _stack(parts)
+    corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
+    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+                          classnames, croot)
+
+
+@DATASET_REGISTRY.register(name="chatglm_caption_check")
+def build_check(cfg: Config) -> CaptionDataset:
+    croot = _caption_root(cfg)
+    droot = _data_root(cfg)
+    classnames = _load_classnames(droot)
+    labeler = CaptionLabeler()
+    kind = cfg.TRAIN.hard_data or "hard"
+    hard_idx = corpora.hard_class_indices(kind)
+    hard_names = {"soft": corpora.SOFT_HARD_CLS, "hard": corpora.HARD_CLS,
+                  "total": corpora.TOTAL_HARD_CLS}[kind]
+
+    parts = [_text_part(corpora.load_single_label_corpus(croot, labeler,
+                                                         restrict_to=hard_idx))]
+    if cfg.TRAIN.challenge_data:
+        parts.append(_text_part(corpora.load_challenge_corpus(
+            join(croot, "challenge"), len(classnames))))
+    # main corpus captions re-labeled to ONLY their hard classes
+    for name in str(cfg.TRAIN.Caption_name).split(" "):
+        if not name:
+            continue
+        toks, labs = corpora.load_multi_label_corpus(croot, name, labeler)
+        hard_mask = np.zeros(labs.shape[1], np.int8)
+        hard_mask[hard_idx] = 1
+        relabeled = labs * hard_mask[None, :]
+        keep = relabeled.sum(axis=1) > 0
+        parts.append((toks[keep], relabeled[keep]))
+    parts.append(_text_part(corpora.template_samples(classnames, restrict_to=hard_idx)))
+    parts.append(_text_part(corpora.category_set_samples(
+        join(croot, "category_sets.txt"), len(classnames),
+        restrict_to_names=hard_names)))
+    tokens, labels = _stack(parts)
+    if not os.path.exists(join(croot, f"{cfg.TRAIN.Caption_name}_class_freq.pkl")):
+        corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
+    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+                          classnames, croot)
+
+
+@DATASET_REGISTRY.register(name="chatglm_caption_zema")
+def build_zema(cfg: Config) -> CaptionDataset:
+    croot = _caption_root(cfg)
+    droot = _data_root(cfg)
+    classnames = _load_classnames(droot)
+    labeler = CaptionLabeler()
+    parts = [_text_part(corpora.load_single_label_corpus(croot, labeler))]
+    for name in str(cfg.TRAIN.Caption_name).split(" "):
+        if name:
+            parts.append(corpora.load_multi_label_corpus(croot, name, labeler))
+    parts.append(_text_part(corpora.template_samples(classnames, add_n2=cfg.TRAIN.add_n2)))
+    parts.append(_text_part(corpora.category_set_samples(
+        join(croot, "category_sets.txt"), len(classnames), include_samples=False)))
+    tokens, labels = _stack(parts)
+    corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
+    return CaptionDataset(tokens, labels,
+                          _load_test_images(droot, cfg.DATASET.dataset_select, final=False),
+                          classnames, croot)
+
+
+@DATASET_REGISTRY.register(name="chatglm_caption_zuan")
+def build_zuan(cfg: Config) -> CaptionDataset:
+    croot = _caption_root(cfg)
+    droot = _data_root(cfg)
+    classnames = _load_classnames(droot)
+    labeler = CaptionLabeler()
+    parts = [_text_part(corpora.load_single_label_corpus(croot, labeler))]
+    for name in str(cfg.TRAIN.Caption_name).split(" "):
+        if name:
+            parts.append(corpora.load_multi_label_corpus(croot, name, labeler))
+    parts.append(_text_part(corpora.template_samples(classnames, add_n2=cfg.TRAIN.add_n2)))
+    if cfg.TRAIN.add_few_shot:
+        parts.append(_text_part(corpora.few_shot_component_samples(
+            join(croot, "components_of_few_shot_classes.json"), classnames)))
+    tokens, labels = _stack(parts)
+    corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
+    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+                          classnames, croot)
+
+
+@DATASET_REGISTRY.register(name="chatglm_caption")
+def build_plain(cfg: Config) -> CaptionDataset:
+    croot = _caption_root(cfg)
+    droot = _data_root(cfg)
+    classnames = _load_classnames(droot)
+    labeler = CaptionLabeler()
+    tokens, labels = _text_part(corpora.load_single_label_corpus(croot, labeler))
+    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+                          classnames, croot)
+
+
+def build_dataset(cfg: Config) -> CaptionDataset:
+    return DATASET_REGISTRY.get(cfg.DATASET.NAME)(cfg)

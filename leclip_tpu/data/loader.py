@@ -1,0 +1,102 @@
+"""Host-side data loading: epoch shuffling, static-shape batching, per-host /
+per-device sharding, and threaded image decode for eval.
+
+Replaces the reference's DataLoader + DistributedSampler machinery (ref:
+Dassl dassl/data/data_manager.py, dassl/data/samplers.py:181-221) with the
+JAX-native pattern: the host streams numpy batches; sharding over the device
+mesh happens via jax.device_put with a NamedSharding — gradients all-reduce
+through XLA collectives, not a sampler wrapper.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class CaptionBatcher:
+    """Shuffled, drop-remainder-free batches of (tokens, labels) with
+    deterministic per-epoch permutations (set_epoch analogue). Batches are
+    padded up to the full batch size by wrapping around, so every step has a
+    static shape — XLA never recompiles."""
+
+    def __init__(
+        self,
+        tokens: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        assert len(tokens) == len(labels)
+        self.tokens = tokens
+        self.labels = labels
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def steps_per_epoch(self) -> int:
+        per_shard = len(self.tokens) // self.num_shards
+        return max(1, per_shard // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        n = len(self.tokens)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        # contiguous shard of the permuted order (reference
+        # CustomDistributedSamplerWrapper semantics, samplers.py:181-195)
+        per_shard = n // self.num_shards
+        order = order[self.shard_index * per_shard : (self.shard_index + 1) * per_shard]
+        steps = self.steps_per_epoch()
+        bs = self.batch_size
+        for s in range(steps):
+            idx = order[s * bs : (s + 1) * bs]
+            if len(idx) < bs:
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            yield {
+                "img": self.tokens[idx].astype(np.int32),
+                "label": self.labels[idx].astype(np.float32),
+            }
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode one image to uint8 RGB [H, W, 3] (PIL; retry once on IO errors,
+    mirroring the reference's read_image retry, dassl/utils/tools.py:111-133)."""
+    from PIL import Image
+
+    for attempt in range(2):
+        try:
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"), np.uint8)
+        except OSError:
+            if attempt:
+                raise
+    raise OSError(f"unreadable image {path}")
+
+
+class ImageBatcher:
+    """Threaded JPEG decode → fixed-size uint8 batches of raw images plus
+    their original sizes (the TTA engine computes crop boxes from those)."""
+
+    def __init__(self, paths: Sequence[str], batch_size: int, workers: int = 8):
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.workers = workers
+
+    def __len__(self) -> int:
+        return (len(self.paths) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[List[np.ndarray], List[str]]]:
+        with concurrent.futures.ThreadPoolExecutor(self.workers) as pool:
+            for start in range(0, len(self.paths), self.batch_size):
+                chunk = self.paths[start : start + self.batch_size]
+                yield list(pool.map(load_image, chunk)), chunk

@@ -1,0 +1,107 @@
+"""Checkpoint I/O — tiny prompt-learner checkpoints with the reference's
+directory layout.
+
+Parity with the reference checkpoint contract (ref: Dassl dassl/utils/
+torchtools.py:27-165, save cadence Caption_distill_double.py:576-587, load
+:906-938): per-model directories ``{dir}/{name}/model.ckpt-{epoch}``, a
+``checkpoint`` pointer file naming the latest, resume restores params +
+optimizer + step, and eval-load ignores anything but the trainable prompt
+params (the frozen token scaffolding is rebuilt from the current class list,
+so checkpoints survive class-list changes — the strict=False analogue).
+
+Format: flax msgpack of the TrainState pytree — a few hundred KB, seconds to
+write, exactly the "prompt-params-only" property the reference relies on.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from .train_state import TrainState
+
+
+def save_checkpoint(state: TrainState, directory: str, name: str, epoch: int) -> str:
+    model_dir = join(directory, name)
+    os.makedirs(model_dir, exist_ok=True)
+    path = join(model_dir, f"model.ckpt-{epoch}")
+    payload = {
+        "params": serialization.to_state_dict(jax.device_get(state.params)),
+        "ema_params": serialization.to_state_dict(jax.device_get(state.ema_params)),
+        "opt_state": serialization.to_state_dict(jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    with open(join(model_dir, "checkpoint"), "w") as f:
+        f.write(os.path.basename(path))
+    return path
+
+
+def latest_checkpoint(directory: str, name: str) -> Optional[str]:
+    pointer = join(directory, name, "checkpoint")
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            fname = f.read().strip()
+        path = join(directory, name, fname)
+        if os.path.exists(path):
+            return path
+    # fall back to the highest-numbered file
+    model_dir = join(directory, name)
+    if not os.path.isdir(model_dir):
+        return None
+    ckpts = [f for f in os.listdir(model_dir) if f.startswith("model.ckpt")]
+    if not ckpts:
+        return None
+    ckpts.sort(key=lambda f: int(f.rsplit("-", 1)[-1]) if "-" in f else -1)
+    return join(model_dir, ckpts[-1])
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_train_state(state: TrainState, payload: dict) -> TrainState:
+    """Full resume: params + ema + optimizer + step (template-shaped)."""
+    params = serialization.from_state_dict(state.params, payload["params"])
+    ema = serialization.from_state_dict(state.ema_params, payload["ema_params"])
+    opt = serialization.from_state_dict(state.opt_state, payload["opt_state"])
+    return TrainState(
+        step=jnp.asarray(payload.get("step", 0), jnp.int32),
+        params=params, ema_params=ema, opt_state=opt,
+    )
+
+
+def load_prompt_params(
+    directory: str, name: str, epoch: Optional[int] = None, use_ema: bool = False
+) -> dict:
+    """Eval-load: just the trainable prompt pytree for model ``name``.
+
+    Accepts both ``model.ckpt`` (pointer/best copies) and ``model.ckpt-{e}``."""
+    if epoch is not None:
+        path = join(directory, name, f"model.ckpt-{epoch}")
+    else:
+        direct = join(directory, name, "model.ckpt")
+        path = direct if os.path.exists(direct) else latest_checkpoint(directory, name)
+    if path is None or not os.path.exists(path):
+        raise FileNotFoundError(f"no checkpoint for {name!r} under {directory!r}")
+    payload = load_checkpoint(path)
+    key = "ema_params" if use_ema else "params"
+    return jax.tree.map(jnp.asarray, payload[key])
+
+
+def resume_if_exists(state: TrainState, directory: str, name: str):
+    """RESUME semantics: restore the newest checkpoint if one exists; returns
+    (state, start_epoch)."""
+    path = latest_checkpoint(directory, name)
+    if path is None:
+        return state, 0
+    payload = load_checkpoint(path)
+    return restore_train_state(state, payload), int(payload.get("epoch", -1)) + 1

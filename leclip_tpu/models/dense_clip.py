@@ -134,19 +134,23 @@ def _aggregate_local(
     return logits_local, logits_neg
 
 
-def dense_train_forward(
-    clip_params: dict,
-    clip_cfg: CLIPConfig,
-    trainable: dict,
-    constants: dict,
-    captions: jnp.ndarray,  # [B, 77] int32 token ids
-    flags: DenseFlags,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Texts-as-images training forward → (logits_global, logits_local)."""
+class CaptionFeatures(NamedTuple):
+    """Frozen text-tower encodings of a caption batch, shared between the
+    student and EMA-teacher heads (the reference computes them once per step,
+    Caption_distill_double.py:474-477, and reuses them at :516-541)."""
+
+    global_feat: jnp.ndarray   # [B, E] L2-normalised EOT feature
+    spatial_feats: jnp.ndarray  # [B, L, E] L2-normalised per-token features
+    pos_mask: jnp.ndarray      # [B, L] additive pad mask (-10000 at pads)
+
+
+def encode_captions(
+    clip_params: dict, clip_cfg: CLIPConfig, captions: jnp.ndarray, flags: DenseFlags
+) -> CaptionFeatures:
+    """Captions [B, 77] → frozen "image-like" features (no gradients)."""
     text = clip_params["text"]
     heads = clip_cfg.transformer_heads
     embeds = text["token_embedding"][captions]
-    # Frozen caption features: block any (zero) gradient bookkeeping.
     seq = jax.lax.stop_gradient(
         encode_text_sequence(text, embeds, heads, impl=flags.attention_impl)
     )  # [B, L, E]
@@ -156,14 +160,41 @@ def dense_train_forward(
     )
     spatial_feats = _normalize(seq)
     pos_mask = (captions == 0).astype(jnp.float32) * NEG_MASK_VALUE
+    return CaptionFeatures(global_feat, spatial_feats, pos_mask)
 
+
+def train_logits_from_features(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    trainable: dict,
+    constants: dict,
+    feats_in: CaptionFeatures,
+    flags: DenseFlags,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(prompt params, frozen caption features) → (logits_global, logits_local)."""
     feats = prompt_text_features(clip_params, clip_cfg, trainable, constants, flags)
     logit_scale, tmp_scale = _scales(trainable, flags, train=True)
-    logits_global = logit_scale * global_feat @ feats["pos"].T
+    logits_global = logit_scale * feats_in.global_feat @ feats["pos"].T
     logits_local, _ = _aggregate_local(
-        spatial_feats, feats, logit_scale, tmp_scale, flags.use_evidence, pos_mask
+        feats_in.spatial_feats, feats, logit_scale, tmp_scale,
+        flags.use_evidence, feats_in.pos_mask,
     )
     return logits_global, logits_local
+
+
+def dense_train_forward(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    trainable: dict,
+    constants: dict,
+    captions: jnp.ndarray,  # [B, 77] int32 token ids
+    flags: DenseFlags,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Texts-as-images training forward → (logits_global, logits_local)."""
+    caption_feats = encode_captions(clip_params, clip_cfg, captions, flags)
+    return train_logits_from_features(
+        clip_params, clip_cfg, trainable, constants, caption_feats, flags
+    )
 
 
 def retrieval_augment(

@@ -81,7 +81,11 @@ def multi_head_attention(
 
 
 @functools.lru_cache()
-def causal_mask(context_length: int) -> jnp.ndarray:
-    """Additive causal mask (upper triangle = -inf), as the text tower uses."""
-    mask = jnp.full((context_length, context_length), float("-inf"), jnp.float32)
-    return jnp.triu(mask, k=1)
+def causal_mask(context_length: int):
+    """Additive causal mask (upper triangle = -inf), as the text tower uses.
+    Cached as NUMPY so the cache never captures a tracer; tracing constant-
+    folds it."""
+    import numpy as np
+
+    mask = np.full((context_length, context_length), -np.inf, np.float32)
+    return np.triu(mask, k=1)

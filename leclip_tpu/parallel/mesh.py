@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's DDP/NCCL layer (ref: train_caption.py:176-179, DDP wrap
+Caption_distill_double.py:786-787, CustomDistributedSamplerWrapper
+dassl/data/samplers.py:181-195).
+
+Pattern: 1-D ``data`` mesh over all chips; batches sharded along it, the tiny
+prompt-learner params replicated. Gradients all-reduce through the psum XLA
+inserts when a jitted function reduces a sharded batch into replicated
+params — no hand-written collectives."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices: Optional[Sequence] = None, name: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (name,))
+
+
+def _is_array(x) -> bool:
+    return isinstance(x, (jax.Array, np.ndarray)) or hasattr(x, "shape")
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Put a host batch onto the mesh, sharded along the batch dimension."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding) if _is_array(x) else x, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (params, constants, banks).
+    Non-array leaves (static metadata like name_lens) pass through."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding) if _is_array(x) else x, tree)
+
+
+def shard_along(tree, mesh: Mesh, axis: str = "data", dim: int = 0):
+    """Shard every leaf of a pytree along `dim` (e.g. a caption feature bank
+    row-sharded across chips)."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[dim] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree.map(put, tree)
+
+
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
+    """Pad (by wrapping) so an axis divides the mesh size; returns (padded,
+    original_length)."""
+    n = array.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return array, n
+    take = np.take(array, np.arange(pad) % n, axis=axis)
+    return np.concatenate([array, take], axis=axis), n

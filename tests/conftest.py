@@ -1,22 +1,21 @@
 """Test harness: force an 8-device virtual CPU mesh (the JAX-native fake
 backend for multi-chip tests) and full-precision matmuls so numerical parity
-checks are meaningful. Must run before jax initialises."""
+checks are meaningful.
+
+NOTE: this environment pre-imports jax at interpreter startup (sitecustomize)
+with JAX_PLATFORMS=axon, so env vars like XLA_FLAGS /
+JAX_DEFAULT_MATMUL_PRECISION are ignored — configuration MUST go through
+jax.config.update before the backend initialises."""
 
 import os
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# Env var alone is unreliable under pytest (a plugin may import jax first);
-# set the config explicitly so parity tests compare true-fp32 matmuls.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,135 @@
+"""Training engine: LR schedule semantics, a real multi-device train run on
+the virtual 8-CPU mesh, EMA behavior, checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leclip_tpu.data.datasets import CaptionDataset
+from leclip_tpu.data.tokenizer import tokenize
+from leclip_tpu.engine.checkpoint import (
+    load_prompt_params,
+    resume_if_exists,
+    save_checkpoint,
+)
+from leclip_tpu.engine.config import setup_config
+from leclip_tpu.engine.train_state import epoch_lr_schedule
+from leclip_tpu.engine.trainer import CaptionDistillTrainer
+from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=32, vision_layers=(1, 1, 1, 1), vision_width=8,
+    vision_patch_size=None, vocab_size=49408, transformer_width=64,
+    transformer_heads=2, transformer_layers=2,
+)
+CLASSNAMES = ["dog", "cat", "person", "pizza"]
+
+
+def tiny_dataset(n=64) -> CaptionDataset:
+    rng = np.random.default_rng(0)
+    texts, labels = [], []
+    for _ in range(n):
+        present = rng.random(4) < 0.5
+        present[rng.integers(4)] = True
+        names = [c for c, p in zip(CLASSNAMES, present) if p]
+        texts.append("a photo of a " + " and a ".join(names) + ".")
+        labels.append(present.astype(np.int8))
+    return CaptionDataset(tokenize(texts), np.stack(labels), [], CLASSNAMES)
+
+
+def make_trainer(tmp_path, **opts):
+    base = [
+        "OPTIM.MAX_EPOCH", "3",
+        "OPTIM.LR", "0.05",
+        "OPTIM.WARMUP_EPOCH", "-1",
+        "DATALOADER.BATCH_SIZE_TRAIN", "16",
+        "TRAINER.N_CTX", "4",
+        "OUTPUT_DIR", str(tmp_path),
+        "TRAIN.PRINT_FREQ", "100",
+    ]
+    for k, v in opts.items():
+        base += [k, str(v)]
+    cfg = setup_config(opts=base)
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    return CaptionDistillTrainer(cfg, clip_params, TINY, dataset=tiny_dataset())
+
+
+def test_lr_schedule_per_epoch():
+    cfg = setup_config(opts=["OPTIM.LR", "0.1", "OPTIM.MAX_EPOCH", "10",
+                             "OPTIM.WARMUP_EPOCH", "2",
+                             "OPTIM.WARMUP_CONS_LR", "1e-5"])
+    lr = epoch_lr_schedule(cfg.OPTIM, steps_per_epoch=5)
+    # constant warmup for 2 epochs
+    assert float(lr(0)) == pytest.approx(1e-5)
+    assert float(lr(9)) == pytest.approx(1e-5)
+    # cosine afterwards, constant within an epoch
+    assert float(lr(10)) == float(lr(14))
+    assert float(lr(10)) == pytest.approx(0.1 * 0.5 * (1 + np.cos(np.pi * 2 / 10)))
+    assert float(lr(45)) < float(lr(10))
+
+
+def test_training_reduces_loss(tmp_path):
+    assert jax.device_count() == 8  # virtual CPU mesh from conftest
+    trainer = make_trainer(tmp_path)
+    sb = next(trainer.batcher.epoch(0))
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(sb, trainer.mesh)
+    state = trainer.state  # NOTE: train_step donates its input state
+    first_loss = None
+    for i in range(30):
+        state, metrics = trainer.train_step(state, batch["img"], batch["label"])
+        if i == 0:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < first_loss
+    # temperatures are trainable scalars and should have moved or stayed finite
+    assert np.isfinite(float(state.params["temperature"]))
+
+
+def test_full_loop_and_checkpoints(tmp_path):
+    trainer = make_trainer(tmp_path, **{"TRAIN.CHECKPOINT_FREQ": "1"})
+    state = trainer.train()
+    name = trainer.model_name
+    assert os.path.exists(os.path.join(tmp_path, name, "model.ckpt-2"))
+    # eval-load returns just the trainable pytree
+    params = load_prompt_params(str(tmp_path), name)
+    np.testing.assert_allclose(
+        np.asarray(params["ctx"]), np.asarray(state.params["ctx"]), rtol=1e-6
+    )
+    # resume restores step + params
+    restored, start_epoch = resume_if_exists(trainer.state, str(tmp_path), name)
+    assert start_epoch == 3
+    assert int(restored.step) == int(state.step)
+
+
+def test_ema_follows_params(tmp_path):
+    trainer = make_trainer(tmp_path, **{"TRAIN.ema": "True", "TRAIN.momentum": "0.5"})
+    sb = next(trainer.batcher.epoch(0))
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(sb, trainer.mesh)
+    state = trainer.state
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["ctx"]), np.asarray(state.params["ctx"])
+    )
+    for _ in range(5):
+        state, metrics = trainer.train_step(state, batch["img"], batch["label"])
+    assert "ema_loss" in metrics and np.isfinite(float(metrics["ema_loss"]))
+    # ema lags behind the live params
+    diff = np.abs(np.asarray(state.ema_params["ctx"]) - np.asarray(state.params["ctx"]))
+    assert diff.max() > 0
+
+
+def test_soft_ce_and_custom_clip(tmp_path):
+    trainer = make_trainer(
+        tmp_path, **{"TRAIN.LOSSFUNC": "soft_ce", "TRAIN.MODEL": "CustomCLIP"}
+    )
+    sb = next(trainer.batcher.epoch(0))
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(sb, trainer.mesh)
+    _, metrics = trainer.train_step(trainer.state, batch["img"], batch["label"])
+    assert np.isfinite(float(metrics["loss"]))
