@@ -244,10 +244,14 @@ class CaptionDistillTrainer:
                 self.state, metrics = self.train_step(
                     self.state, sb["img"], sb["label"]
                 )
+                # Host-sync every step: detects NaNs immediately (reference
+                # detect_anomaly) and bounds the async dispatch queue (the CPU
+                # in-process communicator deadlocks past ~hundreds of queued
+                # collectives; on TPU the sync is hidden behind the step).
+                host = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(host["loss"]):
+                    raise FloatingPointError(f"non-finite loss at epoch {epoch}: {host}")
                 if (i + 1) % max(cfg.TRAIN.PRINT_FREQ, 1) == 0:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    if not np.isfinite(host["loss"]):
-                        raise FloatingPointError(f"non-finite loss at epoch {epoch}: {host}")
                     meter.update(host)
                     lr = float(self.lr_fn(int(self.state.step) - 1))
                     print(

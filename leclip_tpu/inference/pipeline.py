@@ -1,0 +1,157 @@
+"""Full competition inference pipeline — the `test.sh` → `run_eval.sh` →
+`gen_final_ans.py` flow as one orchestrated pass.
+
+Parity with the reference flow (ref: project/my_code/run_eval.sh:17-95,
+gen_final_ans.py): the six prompt checkpoints are grouped exactly as the
+eval launcher groups them (best/difft with evidence prompts + co-occurrence
+modulation; zema/diff/diffh plain; ema with N_CTX=64), scored over the
+multi-scale TTA pyramid, fused with fuse/fuse6 + per-class routing, and
+written as the competition `impreds.json`.
+
+Because image features are shared across members and everything is jitted,
+one pass over the images covers all six models — the reference runs three
+separate full passes.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import ImageBatcher
+from ..engine.checkpoint import load_prompt_params
+from ..engine.evaluator import MLClassificationEvaluator
+from ..models.clip import CLIPConfig, clip_encode_text
+from ..models.dense_clip import DenseFlags
+from ..models.prompt import build_prompt_learner
+from ..ops.ensemble import (
+    DEFAULT_ROUTING,
+    generate_final_answers,
+    normalized_cooccurrence,
+)
+from .tta import ModelSpec, TTAEngine, build_model_spec
+
+# run_eval.sh model grouping: (names, use_evidence, use_freq, n_ctx)
+DEFAULT_MODEL_GROUPS: Tuple[Tuple[Tuple[str, ...], bool, bool, Optional[int]], ...] = (
+    (("best", "difft"), True, True, None),
+    (("zema", "diff", "diffh"), False, False, None),
+    (("ema",), False, False, 64),
+)
+
+
+def build_caption_bank(
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    caption_tokens: np.ndarray,
+    batch_size: int = 256,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Encode a caption corpus into the L2-normalised retrieval feature bank
+    (the reference's generate_caption_text_features.py:77-97 precompute)."""
+    @jax.jit
+    def encode(tokens):
+        f = clip_encode_text(clip_params, clip_cfg, tokens)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    out = []
+    n = len(caption_tokens)
+    pad = (-n) % batch_size
+    toks = np.concatenate([caption_tokens, caption_tokens[: pad or 0]]) if pad else caption_tokens
+    for i in range(0, len(toks), batch_size):
+        out.append(np.asarray(encode(jnp.asarray(toks[i : i + batch_size], jnp.int32)), np.float32))
+    return np.concatenate(out)[:n].astype(dtype)
+
+
+def load_ensemble_specs(
+    cfg,
+    clip_params: dict,
+    clip_cfg: CLIPConfig,
+    classnames: Sequence[str],
+    model_dir: str,
+    groups=DEFAULT_MODEL_GROUPS,
+) -> Dict[str, ModelSpec]:
+    """Load every ensemble member's prompt checkpoint and pre-encode its
+    prompt text features (per-group n_ctx / evidence settings)."""
+    specs: Dict[str, ModelSpec] = {}
+    for names, use_evidence, use_freq, n_ctx in groups:
+        flags = DenseFlags(
+            use_evidence=use_evidence,
+            learn_scale=cfg.TRAIN.IF_LEARN_SCALE,
+            learn_spatial_scale=cfg.TRAIN.IF_LEARN_spatial_SCALE,
+            spatial_scale_text=float(cfg.TRAIN.spatial_SCALE_text),
+            spatial_scale_image=float(cfg.TRAIN.spatial_SCALE_image),
+        )
+        key = jax.random.PRNGKey(cfg.SEED)
+        constants_cache: Dict[int, dict] = {}
+        for name in names:
+            trainable = load_prompt_params(model_dir, name)
+            # n_ctx comes from the checkpoint itself (the reference relies on
+            # the eval launcher passing the right N_CTX — ema is 64 — but the
+            # ctx shape is authoritative and a mismatch silently corrupts
+            # prompts)
+            actual_nctx = int(np.asarray(trainable["ctx"]).shape[-2])
+            expect = n_ctx or cfg.TRAINER.N_CTX
+            if actual_nctx != expect:
+                print(f"note: {name} checkpoint has n_ctx={actual_nctx} "
+                      f"(group default {expect}); using checkpoint value")
+            if actual_nctx not in constants_cache:
+                _, constants_cache[actual_nctx] = build_prompt_learner(
+                    key, clip_params, list(classnames), n_ctx=actual_nctx,
+                    class_token_position=cfg.TRAINER.CLASS_TOKEN_POSITION,
+                )
+            specs[name] = build_model_spec(
+                clip_params, clip_cfg, trainable, constants_cache[actual_nctx], flags
+            )
+    return specs
+
+
+def run_full_inference(
+    engine: TTAEngine,
+    image_paths: Sequence[str],
+    batch_size: int = 8,
+    save_dir: Optional[str] = None,
+    out_json: Optional[str] = None,
+    routing=DEFAULT_ROUTING,
+    progress: bool = True,
+) -> np.ndarray:
+    """TTA-score every image with every ensemble member, save the per-model
+    dumps (+ shared sim matrix) and emit impreds.json. Returns fused scores."""
+    batcher = ImageBatcher(image_paths, batch_size)
+    acc: Dict[str, Dict[str, List[np.ndarray]]] = {}
+    sims_all, sims_blocks_all = [], []
+    evaluator = MLClassificationEvaluator()
+    for bi, (images, paths) in enumerate(batcher):
+        results = engine.run_batch(images)
+        sims = results.pop("_sims")
+        sims_all.append(sims["sims_all"])
+        sims_blocks_all.append(sims["sims_blocks_all"])
+        for name, outs in results.items():
+            slot = acc.setdefault(name, {k: [] for k in outs})
+            for k, v in outs.items():
+                slot[k].append(v)
+        if progress:
+            print(f"TTA batch {bi + 1}/{len(batcher)} ({len(images)} images)")
+
+    data = {
+        name: {k: np.concatenate(v) for k, v in outs.items()}
+        for name, outs in acc.items()
+    }
+    sims_blocks = np.concatenate(sims_blocks_all)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "sim_matrix.pkl"), "wb") as f:
+            pickle.dump({"sims_all": np.concatenate(sims_all),
+                         "sims_blocks_all": sims_blocks}, f)
+        with open(os.path.join(save_dir, "data.pkl"), "wb") as f:
+            pickle.dump(data, f)
+
+    first = next(iter(data.values()))
+    evaluator.process(first["output_final"], np.zeros_like(first["output_final"]),
+                      first["output_pos_final"])
+    fused = generate_final_answers(data, sims_blocks, routing=routing, out_path=out_json)
+    return fused

@@ -67,6 +67,15 @@ PRESETS = {
         768, 224, 24, 1024, 14,
         transformer_width=768, transformer_heads=12, transformer_layers=12,
     ),
+    # miniature towers for CI / smoke runs (not real CLIP geometries)
+    "RN-TEST": CLIPConfig(
+        64, 64, (1, 1, 1, 1), 8, None,
+        transformer_width=64, transformer_heads=2, transformer_layers=2,
+    ),
+    "ViT-TEST": CLIPConfig(
+        64, 64, 2, 64, 16,
+        transformer_width=64, transformer_heads=2, transformer_layers=2,
+    ),
 }
 
 

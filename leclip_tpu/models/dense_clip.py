@@ -107,13 +107,25 @@ def _aggregate_local(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared local-logits aggregation (train token axis == test spatial axis).
 
-    Returns (logits_local [B, C], logits_neg [B, P, C])."""
-    logits_neg = jnp.einsum(
+    Pad handling is mathematically identical to the reference's additive
+    -10000 mask (pad positions get ~0 spatial-softmax weight and ~0
+    contribution) but restructured for numerical stability: the reference
+    feeds masked values into the WTA product ``logits·(max+1)`` which reaches
+    ~5e9 at pad positions and NaNs under fused XLA softmax; here the WTA is
+    computed on raw per-position logits (identical at valid positions — the
+    mask is per-position, so a valid position's class row is unmasked) and
+    pad contributions are zeroed explicitly.
+
+    Returns (logits_local [B, C], logits_neg [B, P, C] masked like the ref)."""
+    logits_raw = jnp.einsum(
         "bpe,ce->bpc", spatial_feats, text_feats["neg"],
         preferred_element_type=jnp.float32,
     )
+    valid = None
+    logits_neg = logits_raw
     if pos_mask is not None:
-        logits_neg = logits_neg + pos_mask[:, :, None]
+        valid = (pos_mask > NEG_MASK_VALUE / 2)[:, :, None]  # [B, P, 1]
+        logits_neg = logits_raw + pos_mask[:, :, None]
     if use_evidence:
         logits_evd = jnp.einsum(
             "bpe,ce->bpc", spatial_feats, text_feats["evd"],
@@ -124,12 +136,15 @@ def _aggregate_local(
         # Winner-Take-All regularisation: sharpen per-position class logits by
         # their own max before the class softmax (ref :463-465,507-509)
         w = jax.nn.softmax(
-            tmp_scale * logits_neg * (logits_neg.max(-1, keepdims=True) + 1.0), axis=-1
+            tmp_scale * logits_raw * (logits_raw.max(-1, keepdims=True) + 1.0), axis=-1
         )
-        logits_neg = logits_neg * w
+        contrib = logits_raw * w
         prob_spatial = jax.nn.softmax(logits_evd * tmp_scale, axis=1)
+        logits_neg = contrib if valid is None else jnp.where(valid, contrib, 0.0)
     else:
         prob_spatial = jax.nn.softmax(logits_neg * tmp_scale, axis=1)
+        if valid is not None:
+            logits_neg = jnp.where(valid, logits_raw, 0.0)
     logits_local = jnp.sum(logit_scale * logits_neg * prob_spatial, axis=1)
     return logits_local, logits_neg
 
@@ -214,6 +229,58 @@ def retrieval_augment(
     return merged, scores
 
 
+class ImageFeatures(NamedTuple):
+    """Frozen image-tower encodings, shared across every ensemble member —
+    the reference re-runs the image encoder once PER prompt model
+    (Caption_distill_double.py:631); encoding once and reusing for all M
+    models' tiny [C,E] text features is a pure win."""
+
+    global_feat: jnp.ndarray    # [B, E] L2-normalised attention-pool feature
+    spatial_feats: jnp.ndarray  # [B, P, E] L2-normalised dense features
+
+
+def encode_image_features(
+    clip_params: dict, clip_cfg: CLIPConfig, images: jnp.ndarray, flags: DenseFlags
+) -> ImageFeatures:
+    out = clip_encode_image(
+        clip_params, clip_cfg, images, dense=True, if_pos=False,
+        impl=flags.attention_impl,
+    )
+    if clip_cfg.is_vit:
+        global_raw, tokens = out  # ViT dense tokens are already projected
+        dense = tokens.reshape(tokens.shape[0], -1, tokens.shape[-1])
+    else:
+        global_raw, _, feat_map = out
+        dense = project_dense(feat_map, clip_params["visual"]["attnpool"])
+    return ImageFeatures(_normalize(global_raw), _normalize(dense))
+
+
+def test_logits_from_features(
+    trainable: dict,
+    text_feats: Dict[str, jnp.ndarray],
+    image_feats: ImageFeatures,
+    flags: DenseFlags,
+    caption_bank: Optional[jnp.ndarray] = None,
+    topk: int = 10,
+) -> "DenseTestOutput":
+    """(prompt text features, shared image features) → test logits."""
+    global_feat = image_feats.global_feat
+    raw_sim = jnp.einsum(
+        "be,ce->bc", global_feat, text_feats["pos"], preferred_element_type=jnp.float32
+    )
+    if caption_bank is not None:
+        global_feat, topk_scores = retrieval_augment(global_feat, caption_bank, topk)
+    else:
+        topk_scores = jnp.zeros((global_feat.shape[0], topk), jnp.float32)
+
+    logit_scale, tmp_scale = _scales(trainable, flags, train=False)
+    logits_global = logit_scale * global_feat @ text_feats["pos"].T
+    logits_local, logits_neg = _aggregate_local(
+        image_feats.spatial_feats, text_feats, logit_scale, tmp_scale, flags.use_evidence
+    )
+    return DenseTestOutput(logits_global, logits_local, logits_neg, raw_sim, topk_scores)
+
+
 class DenseTestOutput(NamedTuple):
     logits_global: jnp.ndarray   # [B, C]
     logits_local: jnp.ndarray    # [B, C]
@@ -233,33 +300,10 @@ def dense_test_forward(
     topk: int = 10,
 ) -> DenseTestOutput:
     """Image-side test forward with dense + global logits."""
-    global_raw, _, feat_map = clip_encode_image(
-        clip_params, clip_cfg, images, dense=True, if_pos=False,
-        impl=flags.attention_impl,
+    image_feats = encode_image_features(clip_params, clip_cfg, images, flags)
+    return test_logits_from_features(
+        trainable, text_feats, image_feats, flags, caption_bank=caption_bank, topk=topk
     )
-    if clip_cfg.is_vit:
-        dense = feat_map  # ViT dense tokens are already projected embeddings
-        b = dense.shape[0]
-        dense = dense.reshape(b, -1, dense.shape[-1])
-    else:
-        dense = project_dense(feat_map, clip_params["visual"]["attnpool"])
-    spatial_feats = _normalize(dense)
-    global_feat = _normalize(global_raw)
-
-    raw_sim = jnp.einsum(
-        "be,ce->bc", global_feat, text_feats["pos"], preferred_element_type=jnp.float32
-    )
-    if caption_bank is not None:
-        global_feat, topk_scores = retrieval_augment(global_feat, caption_bank, topk)
-    else:
-        topk_scores = jnp.zeros((images.shape[0], topk), jnp.float32)
-
-    logit_scale, tmp_scale = _scales(trainable, flags, train=False)
-    logits_global = logit_scale * global_feat @ text_feats["pos"].T
-    logits_local, logits_neg = _aggregate_local(
-        spatial_feats, text_feats, logit_scale, tmp_scale, flags.use_evidence
-    )
-    return DenseTestOutput(logits_global, logits_local, logits_neg, raw_sim, topk_scores)
 
 
 # ----------------------------- CustomCLIP ----------------------------------

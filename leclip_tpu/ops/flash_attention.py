@@ -1,0 +1,137 @@
+"""Fused flash-attention Pallas TPU kernel.
+
+Online-softmax attention over [B, H, T, D] with K/V streamed block-by-block —
+the logits matrix never materialises in HBM. Grid is (B·H, Tq-blocks,
+Tk-blocks) with the K axis innermost ('arbitrary'), running max/denominator/
+accumulator live in VMEM scratch, and the output block is written once on the
+last K step. Non-multiple-of-block sequence lengths are zero-padded and the
+pad keys are killed with a finite -1e30 bias (finite so padded QUERY rows —
+whose entire bias row is -1e30 — still produce a well-defined softmax instead
+of exp(inf); those rows are sliced away on return).
+
+This replaces the cuDNN attention the reference gets from
+torch.nn.MultiheadAttention (ref: project/my_code/clip/model.py:104-122,211)
+in the ViT/text towers. On CPU the kernel runs in interpreter mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *, scale):
+    jk = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(jk == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    v = v_ref[0]  # [bk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    s = s + bias_ref[:]
+
+    m_prev = m_ref[:, :1]                      # [bq, 1]
+    m_cur = jnp.maximum(m_prev, s.max(-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)                     # [bq, bk]
+    l_ref[:, :1] = l_ref[:, :1] * corr + p.sum(-1, keepdims=True)
+    m_ref[:, :1] = m_cur
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jk == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _flash_attention_padded(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    scale = d**-0.5
+    grid = (bh, tq // block_q, tk // block_k)
+
+    kernel = functools.partial(_flash_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((block_q, block_k), lambda b, i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Fused attention over [B, H, T, D]; `mask` is an additive [Tq, Tk]
+    float mask (e.g. causal). Matches the XLA path to fp32-accumulation
+    rounding."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block_q = min(block_q, _round_up(tq, 8))
+    block_k = min(block_k, _round_up(tk, 8))
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
+
+    def flat(x, t_p, t):
+        x = x.reshape(b * h, t, d)
+        if t_p != t:
+            x = jnp.pad(x, ((0, 0), (0, t_p - t), (0, 0)))
+        return x
+
+    qf, kf, vf = flat(q, tq_p, tq), flat(k, tk_p, tk), flat(v, tk_p, tk)
+
+    bias = jnp.zeros((tq_p, tk_p), jnp.float32)
+    if mask is not None:
+        m = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG_INF)
+        bias = bias.at[:tq, :tk].set(m)
+    if tk_p != tk:
+        bias = bias.at[:, tk:].set(NEG_INF)
+
+    interpret = jax.default_backend() != "tpu"
+    out = _flash_attention_padded(qf, kf, vf, bias, block_q, block_k, interpret)
+    return out[:, :tq].reshape(b, h, tq, d)

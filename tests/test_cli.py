@@ -1,0 +1,106 @@
+"""End-to-end CLI micro-pipeline: train a prompt model on fixture corpora,
+then run the full ensemble TTA eval to impreds.json — the train_2.sh/test.sh
+flow at miniature scale."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    # caption corpora
+    croot = tmp_path / "text_result" / "generated_captions"
+    croot.mkdir(parents=True)
+    single = {
+        "16": ["1. A dog runs in a park.", "2. A dog sits by a bench."],
+        "15": ["1. A cat on a couch."],
+        "0": ["1. A person walking."],
+    }
+    for i in range(1, 6):
+        (croot / f"ChatGLM_single_label_{i}.json").write_text(json.dumps(single))
+    multi = [
+        {"id": 0, "caption": "A person rides a bicycle."},
+        {"id": 1, "caption": "A dog and a cat."},
+    ]
+    (croot / "tiny.json").write_text(json.dumps(multi))
+    (croot / "category_sets.txt").write_text("dog,cat\nperson,bicycle\n")
+    # image data root
+    droot = tmp_path / "data" / "official_a"
+    (droot / "images").mkdir(parents=True)
+    (droot / "classes.txt").write_text(
+        "\n".join(__import__("leclip_tpu.data.vocab", fromlist=["x"]).COCO_OBJECT_CATEGORIES)
+    )
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    names = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (72 + 8 * i, 96, 3)).astype(np.uint8)
+        name = f"img_{i}.jpg"
+        Image.fromarray(arr).save(droot / "images" / name)
+        names.append(name)
+    (droot / "imnames_finalA.json").write_text(json.dumps(names))
+    return tmp_path
+
+
+def _common_opts(ws):
+    return [
+        "DATASET.ROOT", str(ws / "data"),
+        "DATASET.caption_feat_root", str(ws / "text_result"),
+        "DATASET.NAME", "chatglm_caption_mix",
+        "TRAIN.Caption_name", "tiny",
+        "OPTIM.MAX_EPOCH", "1",
+        "DATALOADER.BATCH_SIZE_TRAIN", "1024",
+        "TRAINER.N_CTX", "4",
+        "TRAIN.PRINT_FREQ", "1000",
+    ]
+
+
+def test_train_then_eval_cli(workspace, tmp_path):
+    from leclip_tpu.cli.train import main as train_main
+
+    out = tmp_path / "run"
+    train_main([
+        "--output-dir", str(out),
+        "--backbone", "RN-TEST",
+        "--seed", "0",
+    ] + _common_opts(workspace))
+    ckpt = out / "prompt_learner" / "model.ckpt-0"
+    assert ckpt.exists()
+
+    # stage the checkpoint under every ensemble name (miniature best_model/)
+    model_dir = tmp_path / "best_model"
+    for name in ["best", "ema", "zema", "diff", "diffh", "difft"]:
+        (model_dir / name).mkdir(parents=True)
+        shutil.copy(ckpt, model_dir / name / "model.ckpt")
+
+    from leclip_tpu.cli.eval import main as eval_main
+
+    impreds = tmp_path / "impreds.json"
+    eval_main([
+        "--backbone", "RN-TEST",
+        "--model-dir", str(model_dir),
+        "--out", str(impreds),
+        "--save-dir", str(tmp_path / "dumps"),
+        "--batch-size", "2",
+    ] + _common_opts(workspace) + ["TEST.multi_scale", "(2,)"])
+
+    preds = json.load(open(impreds))
+    assert len(preds) == 3 and len(preds[0]) == 80
+    assert np.isfinite(np.asarray(preds)).all()
+    assert (tmp_path / "dumps" / "data.pkl").exists()
+    assert (tmp_path / "dumps" / "sim_matrix.pkl").exists()
+
+
+def test_eval_groups_use_nctx64_for_ema(workspace, tmp_path):
+    """The ema member loads with N_CTX=64 (run_eval.sh pass 3)."""
+    from leclip_tpu.inference.pipeline import DEFAULT_MODEL_GROUPS
+
+    groups = {n: g for g in DEFAULT_MODEL_GROUPS for n in g[0]}
+    assert groups["ema"][3] == 64
+    assert groups["best"][1] is True  # evidence
+    assert groups["zema"][1] is False

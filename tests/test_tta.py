@@ -1,0 +1,97 @@
+"""TTA inference engine: bucket padding, census, multi-model scoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leclip_tpu.inference.tta import (
+    DEFAULT_BUCKETS,
+    ModelSpec,
+    TTAEngine,
+    build_model_spec,
+    pad_to_bucket,
+    pick_bucket,
+)
+from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+from leclip_tpu.models.dense_clip import DenseFlags
+from leclip_tpu.models.prompt import build_prompt_learner
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=64, vision_layers=(1, 1, 1, 1), vision_width=8,
+    vision_patch_size=None, vocab_size=49408, transformer_width=64,
+    transformer_heads=2, transformer_layers=2,
+)
+CLASSNAMES = ["dog", "cat", "person", "pizza"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    flags = DenseFlags(use_evidence=False)
+    flags_evd = DenseFlags(use_evidence=True)
+    specs = {}
+    for i, (name, fl) in enumerate([("best", flags_evd), ("ema", flags)]):
+        trainable, constants = build_prompt_learner(
+            jax.random.PRNGKey(i), clip_params, CLASSNAMES, n_ctx=4
+        )
+        specs[name] = build_model_spec(clip_params, TINY, trainable, constants, fl)
+    return clip_params, specs
+
+
+def test_pick_and_pad_bucket():
+    assert pick_bucket(300, 400) == (384, 512)
+    assert pick_bucket(2000, 2000) == DEFAULT_BUCKETS[-1]
+    img = np.full((300, 400, 3), 7, np.uint8)
+    p = pad_to_bucket(img, (384, 512))
+    assert p.shape == (384, 512, 3)
+    assert (p[:300, :400] == 7).all() and (p[300:, :] == 0).all()
+    # oversized → host downscale into the bucket
+    big = np.zeros((3000, 1500, 3), np.uint8)
+    p = pad_to_bucket(big, DEFAULT_BUCKETS[-1])
+    assert p.shape == (1280, 1280, 3)
+
+
+def test_engine_run_batch(setup):
+    clip_params, specs = setup
+    engine = TTAEngine(
+        clip_params, TINY, specs, scales=(2,), crop_size=64,
+        caption_bank=jnp.asarray(
+            np.random.default_rng(0).normal(size=(50, 32)).astype(np.float32)
+        ),
+        topk=5,
+    )
+    rng = np.random.default_rng(1)
+    images = [
+        rng.integers(0, 255, (120, 160, 3)).astype(np.uint8),
+        rng.integers(0, 255, (90, 90, 3)).astype(np.uint8),
+    ]
+    results = engine.run_batch(images)
+    sims = results.pop("_sims")
+    assert set(results) == {"best", "ema"}
+    nb = engine.n_blocks
+    assert nb == 40  # scale-2 census
+    for name, outs in results.items():
+        assert outs["output"].shape == (2, 4)
+        assert outs["output_blocks"].shape == (2, nb, 4)
+        assert outs["output_pos_blocks"].shape == (2, nb, 4)
+        assert np.isfinite(outs["output_final"]).all()
+    assert sims["sims_all"].shape == (2, 5)
+    assert sims["sims_blocks_all"].shape == (2, nb, 5)
+    # models share image features but score differently
+    assert np.abs(results["best"]["output"] - results["ema"]["output"]).max() > 1e-5
+
+
+def test_engine_use_freq(setup, rng):
+    clip_params, specs = setup
+    adj = rng.random((4, 4)).astype(np.float32) + 0.1
+    nums = rng.random(4).astype(np.float32) + 1.0
+    from leclip_tpu.ops.ensemble import normalized_cooccurrence
+
+    engine = TTAEngine(
+        clip_params, TINY, {"best": specs["best"]}, scales=(2,), crop_size=64,
+        cooccurrence=normalized_cooccurrence(adj, nums), use_freq=True,
+    )
+    images = [np.zeros((64, 64, 3), np.uint8)]
+    results = engine.run_batch(images)
+    assert np.isfinite(results["best"]["output_pos"]).all()
