@@ -22,8 +22,18 @@ BASELINE_CROPS_PER_SEC = 250.0
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeated bench runs skip the multi-minute
+    # tunnel compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
     from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
     from leclip_tpu.inference.tta import TTAEngine, build_model_spec
@@ -71,7 +81,9 @@ def main():
     crops_per_image = 1 + engine.n_blocks  # 305 for scales (2,3,4)
 
     # warmup / compile
+    log("compiling + warmup…")
     engine.run_batch(images)
+    log("warmup done; timing")
 
     iters = 10
     t0 = time.perf_counter()

@@ -57,7 +57,9 @@ class OptimConfig:
     LR: float = 0.01
     WEIGHT_DECAY: float = 5e-4
     MOMENTUM: float = 0.9
-    SCHED: str = "cosine"
+    SCHED: str = "cosine"   # cosine | single_step | multi_step | constant
+    STEPSIZE: Tuple[int, ...] = ()
+    GAMMA: float = 0.1
     MAX_EPOCH: int = 15
     WARMUP_EPOCH: int = 1
     WARMUP_TYPE: str = "constant"

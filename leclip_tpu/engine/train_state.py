@@ -29,15 +29,30 @@ class TrainState(NamedTuple):
 
 def epoch_lr_schedule(optim: OptimConfig, steps_per_epoch: int) -> Callable:
     """LR as a function of the global step, constant within an epoch (the
-    reference steps its scheduler at epoch end)."""
+    reference steps its scheduler at epoch end). Supports cosine (default),
+    single_step, and multi_step annealing plus constant/linear warmup —
+    the reference's scheduler menu (dassl/optim/lr_scheduler.py:83-154)."""
     base = optim.LR
     max_epoch = optim.MAX_EPOCH
     warmup = optim.WARMUP_EPOCH
+    sched = optim.SCHED.lower()
+
+    def anneal(epoch):
+        if sched == "cosine":
+            return base * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max_epoch))
+        if sched == "single_step":
+            step_at = optim.STEPSIZE[0] if optim.STEPSIZE else max_epoch
+            return base * jnp.where(epoch < step_at, 1.0, optim.GAMMA)
+        if sched == "multi_step":
+            drops = sum(jnp.where(epoch >= m, 1, 0) for m in optim.STEPSIZE)
+            return base * optim.GAMMA**drops
+        if sched == "constant":
+            return jnp.asarray(base)
+        raise ValueError(f"unknown scheduler {optim.SCHED!r}")
 
     def lr(step):
         epoch = step // steps_per_epoch
-        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max_epoch))
-        cosine_lr = base * cos
+        main = anneal(epoch)
         if warmup and warmup > 0:
             if optim.WARMUP_TYPE == "linear":
                 w = optim.WARMUP_MIN_LR + (base - optim.WARMUP_MIN_LR) * (
@@ -45,8 +60,8 @@ def epoch_lr_schedule(optim: OptimConfig, steps_per_epoch: int) -> Callable:
                 )
             else:
                 w = jnp.asarray(optim.WARMUP_CONS_LR)
-            return jnp.where(epoch < warmup, w, cosine_lr)
-        return cosine_lr
+            return jnp.where(epoch < warmup, w, main)
+        return main
 
     return lr
 

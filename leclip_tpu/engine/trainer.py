@@ -178,6 +178,15 @@ class CaptionDistillTrainer:
             ctx_init=cfg.TRAINER.CTX_INIT,
             class_token_position=cfg.TRAINER.CLASS_TOKEN_POSITION,
         )
+        if cfg.TRAINER.PREC in ("bf16", "amp-bf16"):
+            # frozen towers in bf16 on the MXU; trainable prompt params and
+            # LayerNorm statistics stay fp32 (the PREC=fp16/amp analogue,
+            # ref Caption_distill_double.py:746-748,795-802)
+            clip_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                clip_params,
+            )
         self.clip_params = replicate(clip_params, self.mesh)
         self.constants = replicate(self.constants, self.mesh)
 

@@ -35,6 +35,7 @@ from ..models.dense_clip import (
     DenseFlags,
     encode_image_features,
     prompt_text_features,
+    retrieval_augment,
     test_logits_from_features,
 )
 from ..ops.crops import crop_and_resize, tta_sampling_boxes
@@ -155,6 +156,7 @@ class TTAEngine:
         dtype = self.compute_dtype
         size = self.crop_size
         flags = next(iter(self.models.values())).flags
+        bank, topk = self.caption_bank, self.topk
 
         @jax.jit
         def feature_fn(images_u8: jnp.ndarray, boxes: jnp.ndarray):
@@ -167,24 +169,30 @@ class TTAEngine:
             crops = jax.vmap(one)(imgs, boxes)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags)
-            return feats
+            # retrieval is model-independent → run it once here, shared by
+            # every ensemble member (the reference redoes it per model)
+            if bank is not None:
+                aug, scores = retrieval_augment(feats.global_feat, bank, topk)
+            else:
+                aug = feats.global_feat
+                scores = jnp.zeros((flat.shape[0], topk), jnp.float32)
+            return feats, aug, scores
 
         self._feature_fn_cache[key] = feature_fn
         return feature_fn
 
-    def _score(self, spec: ModelSpec, feats):
+    def _score(self, spec: ModelSpec, feats, aug, scores):
         if self._score_fn is None:
-            bank = self.caption_bank
 
             @functools.partial(jax.jit, static_argnums=(2,))
-            def score_fn(trainable, text_feats, flags, image_feats):
+            def score_fn(trainable, text_feats, flags, image_feats, aug_, scores_):
                 return test_logits_from_features(
                     trainable, text_feats, image_feats, flags,
-                    caption_bank=bank, topk=self.topk,
+                    precomputed_retrieval=(aug_, scores_),
                 )
 
             self._score_fn = score_fn
-        return self._score_fn(spec.trainable, spec.text_feats, spec.flags, feats)
+        return self._score_fn(spec.trainable, spec.text_feats, spec.flags, feats, aug, scores)
 
     # ------------------------------ passes ----------------------------------
 
@@ -213,12 +221,12 @@ class TTAEngine:
         padded, boxes, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         feature_fn = self._feature_fn(bucket, n, b)
-        feats = feature_fn(jnp.asarray(padded), jnp.asarray(boxes))
+        feats, aug, scores = feature_fn(jnp.asarray(padded), jnp.asarray(boxes))
 
         results: Dict[str, dict] = {}
         sims_saved = None
         for name, spec in self.models.items():
-            out = self._score(spec, feats)
+            out = self._score(spec, feats, aug, scores)
             g = np.asarray(out.logits_global, np.float32).reshape(b, n, -1)
             l = np.asarray(out.logits_local, np.float32).reshape(b, n, -1)
             sims = np.asarray(out.topk_sim_scores, np.float32).reshape(b, n, -1)

@@ -49,8 +49,8 @@ class DenseFlags(NamedTuple):
     remat: bool = False
 
 
-def _normalize(x, axis=-1):
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+def _normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 def prompt_text_features(
@@ -262,13 +262,20 @@ def test_logits_from_features(
     flags: DenseFlags,
     caption_bank: Optional[jnp.ndarray] = None,
     topk: int = 10,
+    precomputed_retrieval: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> "DenseTestOutput":
-    """(prompt text features, shared image features) → test logits."""
+    """(prompt text features, shared image features) → test logits.
+
+    ``precomputed_retrieval=(augmented_global, topk_scores)`` lets the caller
+    run the caption-bank top-k ONCE per batch (it is model-independent — the
+    reference recomputes it per ensemble member)."""
     global_feat = image_feats.global_feat
     raw_sim = jnp.einsum(
         "be,ce->bc", global_feat, text_feats["pos"], preferred_element_type=jnp.float32
     )
-    if caption_bank is not None:
+    if precomputed_retrieval is not None:
+        global_feat, topk_scores = precomputed_retrieval
+    elif caption_bank is not None:
         global_feat, topk_scores = retrieval_augment(global_feat, caption_bank, topk)
     else:
         topk_scores = jnp.zeros((global_feat.shape[0], topk), jnp.float32)
