@@ -77,6 +77,8 @@ class CaptionTrainerConfig:
     CLASS_TOKEN_POSITION: str = "end"
     GL_merge_rate: float = 0.5
     use_evidence: bool = False
+    adapter_reduction: int = 4
+    adapter_trainable: bool = False  # the reference leaves its adapter frozen
 
 
 @dataclass

@@ -74,12 +74,19 @@ def make_train_step(
     lmpt_lambda: float = 0.5,
     lmpt_class_counts: Optional[jnp.ndarray] = None,
     m_ctx: int = 2,
+    adapter: Optional[dict] = None,
+    adapter_trainable: bool = False,
 ):
     """Build the jitted (state, captions, labels) → (state, metrics) step."""
 
     def head(params, caption_feats):
+        # adapter variant: the adapter rides the prompt path only; when
+        # trainable it lives inside the param pytree under '_adapter'
+        adp = params.get("_adapter", adapter) if adapter_trainable else adapter
+        prompt_params = {k: v for k, v in params.items() if k != "_adapter"}
         out, out_local = train_logits_from_features(
-            clip_params, clip_cfg, params, constants, caption_feats, flags
+            clip_params, clip_cfg, prompt_params, constants, caption_feats, flags,
+            adapter=adp,
         )
         if model_kind == "CustomCLIP":
             return out, None  # global-only variant (ref CustomCLIP :338-352)
@@ -133,9 +140,7 @@ def make_train_step(
             # momentum update BEFORE the teacher forward (reference ordering)
             ema_params = ema_update(state.ema_params, state.params, momentum)
             teacher = jax.lax.stop_gradient(
-                train_logits_from_features(
-                    clip_params, clip_cfg, ema_params, constants, caption_feats, flags
-                )
+                head(ema_params, caption_feats)
             )
         else:
             ema_params = state.ema_params
@@ -283,3 +288,38 @@ def build_trainer(cfg: Config, clip_params, clip_cfg, **kwargs):
     return TRAINER_REGISTRY.get("Caption_distill_double")(
         cfg, clip_params, clip_cfg, **kwargs
     )
+
+
+@TRAINER_REGISTRY.register(name="Caption_distill_double_adapter")
+class CaptionDistillAdapterTrainer(CaptionDistillTrainer):
+    """Adapter trainer variant (ref: trainers/Caption_distill_double_adapter.py
+    :463-627): prompts are encoded through a residual bottleneck text adapter;
+    captions go through the plain tower; no evidence prompts / EMA / retrieval.
+
+    The reference freezes its adapter at random init (only 'prompt_learner'
+    params reach the optimizer); set TRAINER.adapter_trainable True to
+    actually train it (strictly more capable, off by default for parity)."""
+
+    def __init__(self, cfg: Config, clip_params, clip_cfg, dataset=None,
+                 mesh=None, seed_key=None):
+        super().__init__(cfg, clip_params, clip_cfg, dataset=dataset,
+                         mesh=mesh, seed_key=seed_key)
+        from ..models.adapter import init_adapter_params
+
+        key = jax.random.PRNGKey(cfg.SEED + 1)
+        adapter = init_adapter_params(
+            key, clip_cfg.transformer_width, cfg.TRAINER.adapter_reduction
+        )
+        self.adapter = replicate(adapter, self.mesh)
+        trainable = dict(self.trainable)
+        if cfg.TRAINER.adapter_trainable:
+            # independent copy: the state pytree is donated every step and
+            # must not alias self.adapter's buffers
+            trainable["_adapter"] = jax.tree.map(jnp.array, adapter)
+        self.state = replicate(create_train_state(trainable, self.optimizer), self.mesh)
+        self.train_step = make_train_step(
+            self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,
+            loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
+            ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
+            adapter=self.adapter, adapter_trainable=cfg.TRAINER.adapter_trainable,
+        )

@@ -60,6 +60,7 @@ def prompt_text_features(
     constants: dict,
     flags: DenseFlags,
     include_evidence: Optional[bool] = None,
+    adapter: Optional[dict] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Encode the three prompt sets → L2-normalised class embeddings.
 
@@ -76,7 +77,8 @@ def prompt_text_features(
     def enc(embeds):
         return _normalize(
             encode_text_embeds(
-                text, embeds, eot, heads, impl=flags.attention_impl, remat=flags.remat
+                text, embeds, eot, heads, impl=flags.attention_impl,
+                remat=flags.remat, adapter=adapter,
             )
         )
 
@@ -185,9 +187,12 @@ def train_logits_from_features(
     constants: dict,
     feats_in: CaptionFeatures,
     flags: DenseFlags,
+    adapter: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(prompt params, frozen caption features) → (logits_global, logits_local)."""
-    feats = prompt_text_features(clip_params, clip_cfg, trainable, constants, flags)
+    feats = prompt_text_features(
+        clip_params, clip_cfg, trainable, constants, flags, adapter=adapter
+    )
     logit_scale, tmp_scale = _scales(trainable, flags, train=True)
     logits_global = logit_scale * feats_in.global_feat @ feats["pos"].T
     logits_local, _ = _aggregate_local(
@@ -216,14 +221,22 @@ def retrieval_augment(
     global_feat: jnp.ndarray,  # [B, E] L2-normalised
     caption_bank: jnp.ndarray,  # [N, E] L2-normalised caption features
     topk: int = 10,
+    exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k caption retrieval: mean of the k nearest bank features is
     averaged 50/50 into the image feature (ref :444-448). Returns
-    (augmented_feat [B,E], topk_scores [B,k])."""
+    (augmented_feat [B,E], topk_scores [B,k]).
+
+    Uses the TPU-native ``approx_max_k`` (exact ``top_k`` over a 220k-wide
+    axis lowers to a full sort — orders of magnitude slower; the approximate
+    variant has ≥0.95 recall and the retrieval mean is insensitive to it)."""
     sims = jnp.einsum(
         "be,ne->bn", global_feat, caption_bank, preferred_element_type=jnp.float32
     )
-    scores, idx = jax.lax.top_k(sims, topk)
+    if exact or sims.shape[-1] <= 4096:
+        scores, idx = jax.lax.top_k(sims, topk)
+    else:
+        scores, idx = jax.lax.approx_max_k(sims, topk, recall_target=0.95)
     selected = caption_bank[idx]  # [B, k, E]
     merged = (global_feat + selected.mean(axis=1).astype(global_feat.dtype)) / 2.0
     return merged, scores

@@ -51,13 +51,20 @@ def _backbone(
     n_heads: int,
     impl: str = "auto",
     remat: bool = False,
+    adapter: dict = None,
 ) -> jnp.ndarray:
-    """Embeddings [N, L, W] → post-ln_final features [N, L, W]."""
+    """Embeddings [N, L, W] → post-ln_final features [N, L, W]. ``adapter``
+    inserts a residual bottleneck over the transformer output before ln_final
+    (the AdapterTextEncoder variant, ref Caption_distill_double_adapter.py:99-112)."""
     ctx_len = x.shape[1]
     x = x + params["positional_embedding"][:ctx_len].astype(x.dtype)
     x = run_transformer(
         x, params["blocks"], n_heads, mask=causal_mask(ctx_len), impl=impl, remat=remat
     )
+    if adapter is not None:
+        from .adapter import apply_adapter
+
+        x = x + apply_adapter(x, adapter)
     return layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"])
 
 
@@ -67,10 +74,11 @@ def encode_text_sequence(
     n_heads: int,
     impl: str = "auto",
     remat: bool = False,
+    adapter: dict = None,
 ) -> jnp.ndarray:
     """All projected token features [N, L, E] — the text-as-image regime where
     every position acts as a spatial feature (ref Caption_distill_double.py:94-96)."""
-    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat)
+    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat, adapter=adapter)
     return x @ params["text_projection"].astype(x.dtype)
 
 
@@ -81,10 +89,11 @@ def encode_text_embeds(
     n_heads: int,
     impl: str = "auto",
     remat: bool = False,
+    adapter: dict = None,
 ) -> jnp.ndarray:
     """EOT-position features [N, E] from pre-built embeddings; ``eot_idx`` is
     tokens.argmax(-1) — EOT has the highest token id by construction."""
-    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat)
+    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat, adapter=adapter)
     eot = jnp.take_along_axis(x, eot_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return eot @ params["text_projection"].astype(x.dtype)
 

@@ -1,0 +1,69 @@
+"""Dual-encoder fine-tuning on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leclip_tpu.data.tokenizer import tokenize
+from leclip_tpu.engine.finetune import (
+    CLIPFineTuner,
+    clip_contrastive_loss,
+    multilabel_finetune_loss,
+)
+from leclip_tpu.models.clip import PRESETS, init_clip_params
+
+TINY_RN = PRESETS["RN-TEST"]
+TINY_VIT = PRESETS["ViT-TEST"]
+
+
+def _pairs(n=16, res=64):
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(n, res, res, 3)), jnp.float32)
+    texts = [f"a photo of sample {i}" for i in range(n)]
+    return {"image": images, "tokens": jnp.asarray(tokenize(texts))}
+
+
+def test_contrastive_loss_shape():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
+    b = _pairs(8)
+    loss, logits = clip_contrastive_loss(params, TINY_RN, b["image"], b["tokens"])
+    assert logits.shape == (8, 8)
+    assert np.isfinite(float(loss))
+    # random features → loss near ln(8)
+    assert abs(float(loss) - np.log(8)) < 1.0
+
+
+def test_finetuner_reduces_loss_dual_backbones():
+    batch = _pairs(16)
+    for cfg in (TINY_RN, TINY_VIT):
+        params = init_clip_params(jax.random.PRNGKey(0), cfg)
+        ft = CLIPFineTuner(params, cfg, lr=3e-4, warmup_steps=0, total_steps=100,
+                           remat=False)
+        state = ft.state
+        first = None
+        for i in range(15):
+            state, m = ft.train_step(state, batch["image"], batch["tokens"])
+            if i == 0:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first, cfg
+        assert int(state.step) == 15
+
+
+def test_multilabel_finetune_loss():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    tf = jnp.asarray(rng.normal(size=(5, TINY_RN.embed_dim)), jnp.float32)
+    tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+    labels = jnp.asarray((rng.random((4, 5)) < 0.4).astype(np.float32))
+    loss, logits = multilabel_finetune_loss(params, TINY_RN, imgs, tf, labels)
+    assert logits.shape == (4, 5)
+    assert np.isfinite(float(loss))
+
+
+def test_decay_mask_structure():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
+    mask = CLIPFineTuner._decay_mask(params)
+    assert mask["text"]["text_projection"] is True
+    assert mask["text"]["token_embedding"] is False
+    assert mask["logit_scale"] is False

@@ -133,3 +133,48 @@ def test_soft_ce_and_custom_clip(tmp_path):
     batch = shard_batch(sb, trainer.mesh)
     _, metrics = trainer.train_step(trainer.state, batch["img"], batch["label"])
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_adapter_trainer(tmp_path):
+    from leclip_tpu.engine.trainer import CaptionDistillAdapterTrainer
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    cfg = setup_config(opts=[
+        "OPTIM.MAX_EPOCH", "1", "DATALOADER.BATCH_SIZE_TRAIN", "16",
+        "OPTIM.LR", "0.05", "OPTIM.WARMUP_EPOCH", "-1",
+        "TRAINER.N_CTX", "4", "OUTPUT_DIR", str(tmp_path),
+        "TRAINER.adapter_trainable", "True",
+    ])
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    tr = CaptionDistillAdapterTrainer(cfg, clip_params, TINY, dataset=tiny_dataset())
+    assert "_adapter" in tr.state.params
+    b = shard_batch(next(tr.batcher.epoch(0)), tr.mesh)
+    state = tr.state
+    first = None
+    for i in range(10):
+        state, m = tr.train_step(state, b["img"], b["label"])
+        if i == 0:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+    # the adapter actually moved
+    d = np.abs(np.asarray(state.params["_adapter"]["down_kernel"]) -
+               np.asarray(tr.adapter["down_kernel"]))
+    assert d.max() > 0
+
+
+def test_adapter_frozen_variant(tmp_path):
+    from leclip_tpu.engine.trainer import CaptionDistillAdapterTrainer
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    cfg = setup_config(opts=[
+        "OPTIM.MAX_EPOCH", "1", "DATALOADER.BATCH_SIZE_TRAIN", "16",
+        "TRAINER.N_CTX", "4", "OUTPUT_DIR", str(tmp_path),
+    ])
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    tr = CaptionDistillAdapterTrainer(cfg, clip_params, TINY, dataset=tiny_dataset())
+    assert "_adapter" not in tr.state.params
+    b = shard_batch(next(tr.batcher.epoch(0)), tr.mesh)
+    _, m = tr.train_step(tr.state, b["img"], b["label"])
+    assert np.isfinite(float(m["loss"]))
