@@ -84,18 +84,38 @@ def load_image(path: str) -> np.ndarray:
 
 
 class ImageBatcher:
-    """Threaded JPEG decode → fixed-size uint8 batches of raw images plus
-    their original sizes (the TTA engine computes crop boxes from those)."""
+    """JPEG decode → fixed-size batches of raw uint8 images plus their paths
+    (the TTA engine computes crop boxes from the decoded sizes).
 
-    def __init__(self, paths: Sequence[str], batch_size: int, workers: int = 8):
+    Uses the native multithreaded libjpeg runtime when available
+    (leclip_tpu/runtime/decode.cpp — PIL-exact output), falling back to a
+    PIL thread pool."""
+
+    def __init__(self, paths: Sequence[str], batch_size: int, workers: int = 8,
+                 native: bool = True):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.workers = workers
+        self._native = False
+        if native:
+            try:
+                from ..runtime.jpeg import decode_batch, native_available
+
+                if native_available():
+                    self._decode_batch = decode_batch
+                    self._native = True
+            except Exception:
+                pass
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[List[np.ndarray], List[str]]]:
+        if self._native:
+            for start in range(0, len(self.paths), self.batch_size):
+                chunk = self.paths[start : start + self.batch_size]
+                yield self._decode_batch(chunk, threads=self.workers), chunk
+            return
         with concurrent.futures.ThreadPoolExecutor(self.workers) as pool:
             for start in range(0, len(self.paths), self.batch_size):
                 chunk = self.paths[start : start + self.batch_size]
