@@ -79,21 +79,21 @@ def make_train_step(
 ):
     """Build the jitted (state, captions, labels) → (state, metrics) step."""
 
-    def head(params, caption_feats):
+    def head(params, caption_feats, clip_p):
         # adapter variant: the adapter rides the prompt path only; when
         # trainable it lives inside the param pytree under '_adapter'
         adp = params.get("_adapter", adapter) if adapter_trainable else adapter
         prompt_params = {k: v for k, v in params.items() if k != "_adapter"}
         out, out_local = train_logits_from_features(
-            clip_params, clip_cfg, prompt_params, constants, caption_feats, flags,
+            clip_p, clip_cfg, prompt_params, constants, caption_feats, flags,
             adapter=adp,
         )
         if model_kind == "CustomCLIP":
             return out, None  # global-only variant (ref CustomCLIP :338-352)
         return out, out_local
 
-    def compute_loss(params, caption_feats, labels, teacher, captions):
-        out, out_local = head(params, caption_feats)
+    def compute_loss(params, caption_feats, labels, teacher, captions, clip_p):
+        out, out_local = head(params, caption_feats, clip_p)
         aux: Dict[str, jnp.ndarray] = {}
         if loss_name == "double_ranking":
             r_loss = L.ranking_loss(out, labels, scale=1.0, margin=1.0)
@@ -123,7 +123,7 @@ def make_train_step(
             raise NotImplementedError(f"loss function {loss_name!r}")
 
         if lmpt:
-            caption_embeds = clip_params["text"]["token_embedding"][captions]
+            caption_embeds = clip_p["text"]["token_embedding"][captions]
             prompt_embeds = assemble_prompts(params, constants)[0]
             hinge = L.lmpt_hinge_from_embeddings(
                 caption_embeds, prompt_embeds, labels, lmpt_class_counts, m_ctx=m_ctx
@@ -133,25 +133,30 @@ def make_train_step(
         aux["loss"] = loss
         return loss, aux
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, captions: jnp.ndarray, labels: jnp.ndarray):
-        caption_feats = encode_captions(clip_params, clip_cfg, captions, flags)
+    # clip params enter as an argument (closed-over arrays become HLO
+    # constants — enormous compile-time cost on big towers)
+    @partial(jax.jit, donate_argnums=(1,))
+    def _step(clip_p, state: TrainState, captions: jnp.ndarray, labels: jnp.ndarray):
+        caption_feats = encode_captions(clip_p, clip_cfg, captions, flags)
         if ema:
             # momentum update BEFORE the teacher forward (reference ordering)
             ema_params = ema_update(state.ema_params, state.params, momentum)
             teacher = jax.lax.stop_gradient(
-                head(ema_params, caption_feats)
+                head(ema_params, caption_feats, clip_p)
             )
         else:
             ema_params = state.ema_params
             teacher = None
         (loss, aux), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-            state.params, caption_feats, labels, teacher, captions
+            state.params, caption_feats, labels, teacher, captions, clip_p
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, ema_params, opt_state)
         return new_state, aux
+
+    def train_step(state, captions, labels):
+        return _step(clip_params, state, captions, labels)
 
     return train_step
 

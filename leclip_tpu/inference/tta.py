@@ -84,6 +84,29 @@ class ModelSpec(NamedTuple):
     flags: DenseFlags
 
 
+_SPEC_ENCODER_CACHE: Dict[tuple, object] = {}
+
+
+def _spec_encoder(clip_cfg: CLIPConfig, flags: DenseFlags, meta: tuple):
+    """Cached jitted prompt-feature encoder (eager encoding dispatches the
+    whole text tower op-by-op — catastrophic over a remote-TPU tunnel)."""
+    key = (clip_cfg, flags, meta)
+    fn = _SPEC_ENCODER_CACHE.get(key)
+    if fn is None:
+        meta_dict = dict(meta)
+
+        @jax.jit
+        def fn(clip_params, trainable, const_arrays):
+            constants = {**const_arrays, **meta_dict}
+            return prompt_text_features(clip_params, clip_cfg, trainable, constants, flags)
+
+        _SPEC_ENCODER_CACHE[key] = fn
+    return fn
+
+
+_CONST_META_KEYS = ("name_lens", "n_ctx", "n_cls", "class_token_position")
+
+
 def build_model_spec(
     clip_params: dict,
     clip_cfg: CLIPConfig,
@@ -93,7 +116,10 @@ def build_model_spec(
 ) -> ModelSpec:
     """Pre-encode the three prompt sets once (the reference caches after the
     first test batch, :421-439)."""
-    feats = prompt_text_features(clip_params, clip_cfg, trainable, constants, flags)
+    meta = tuple((k, constants[k]) for k in _CONST_META_KEYS)
+    arrays = {k: v for k, v in constants.items() if k not in _CONST_META_KEYS}
+    encode = _spec_encoder(clip_cfg, flags, meta)
+    feats = encode(clip_params, trainable, arrays)
     feats = {k: jax.device_get(v) for k, v in feats.items()}
     return ModelSpec(jax.device_get(trainable), {k: jnp.asarray(v) for k, v in feats.items()}, flags)
 
@@ -152,14 +178,18 @@ class TTAEngine:
         fn = self._feature_fn_cache.get(key)
         if fn is not None:
             return fn
-        clip_params, clip_cfg = self.clip_params, self.clip_cfg
+        clip_cfg = self.clip_cfg
         dtype = self.compute_dtype
         size = self.crop_size
         flags = next(iter(self.models.values())).flags
-        bank, topk = self.caption_bank, self.topk
+        topk = self.topk
+        has_bank = self.caption_bank is not None
 
+        # NOTE: clip params and the caption bank are jit ARGUMENTS, not
+        # closures — closed-over arrays become HLO constants (hundreds of MB)
+        # and wreck compile time, especially through a remote-compile tunnel.
         @jax.jit
-        def feature_fn(images_u8: jnp.ndarray, boxes: jnp.ndarray):
+        def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray):
             imgs = images_u8.astype(dtype) / 255.0
 
             def one(img, bxs):
@@ -171,7 +201,7 @@ class TTAEngine:
             feats = encode_image_features(clip_params, clip_cfg, flat, flags)
             # retrieval is model-independent → run it once here, shared by
             # every ensemble member (the reference redoes it per model)
-            if bank is not None:
+            if has_bank:
                 aug, scores = retrieval_augment(feats.global_feat, bank, topk)
             else:
                 aug = feats.global_feat
@@ -221,7 +251,13 @@ class TTAEngine:
         padded, boxes, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         feature_fn = self._feature_fn(bucket, n, b)
-        feats, aug, scores = feature_fn(jnp.asarray(padded), jnp.asarray(boxes))
+        bank = self.caption_bank
+        if bank is None:
+            # zero-size placeholder keeps the jit signature stable
+            bank = jnp.zeros((1, 1), jnp.float32)
+        feats, aug, scores = feature_fn(
+            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes)
+        )
 
         results: Dict[str, dict] = {}
         sims_saved = None
