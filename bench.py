@@ -42,53 +42,64 @@ def main():
     from leclip_tpu.models.prompt import build_prompt_learner
 
     clip_cfg = PRESETS["ViT-B/16"]
-    # init on CPU (fast) and ship once to the device
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg, dtype=jnp.bfloat16)
-    device = jax.devices()[0]
-    clip_params = jax.device_put(clip_params, device)
+    # Generate params ON THE DEVICE inside one jitted program — host-side
+    # generation + device_put would ship ~300MB through the axon tunnel.
+    log("initialising ViT-B/16 params on device…")
+    init_fn = jax.jit(
+        lambda key: init_clip_params(key, clip_cfg, dtype=jnp.bfloat16)
+    )
+    clip_params = init_fn(jax.random.PRNGKey(0))
+    jax.tree.map(lambda x: x.block_until_ready(), clip_params)
 
+    log("building 6 ensemble specs…")
     flags = DenseFlags(use_evidence=True)
+    # prompt scaffolding (tokenize + tiny embedding lookups) built on CPU from
+    # a host copy of the token embedding; trainables are a few hundred KB
+    token_emb_host = np.asarray(jax.device_get(clip_params["text"]["token_embedding"]))
+    host_clip_stub = {"text": {"token_embedding": token_emb_host}}
     specs = {}
     for i, name in enumerate(["best", "ema", "zema", "diff", "diffh", "difft"]):
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            trainable, constants = build_prompt_learner(
-                jax.random.PRNGKey(i), clip_params, COCO_OBJECT_CATEGORIES,
-                n_ctx=16, dtype=jnp.bfloat16,
-            )
+        trainable, constants = build_prompt_learner(
+            jax.random.PRNGKey(i), host_clip_stub, COCO_OBJECT_CATEGORIES,
+            n_ctx=16, dtype=jnp.bfloat16,
+        )
         specs[name] = build_model_spec(
-            clip_params, clip_cfg,
-            jax.device_put(trainable, device),
-            constants,
+            clip_params, clip_cfg, trainable, constants,
             flags if name in ("best", "difft") else DenseFlags(),
         )
 
-    rng = np.random.default_rng(0)
-    bank = rng.normal(size=(220_000, clip_cfg.embed_dim)).astype(np.float32)
-    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    log("building 220k caption bank on device…")
+    @jax.jit
+    def bank_fn(key):
+        b = jax.random.normal(key, (220_000, clip_cfg.embed_dim), jnp.bfloat16)
+        return b / jnp.linalg.norm(b.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
+
+    bank = bank_fn(jax.random.PRNGKey(7))
+    bank.block_until_ready()
 
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=(2, 3, 4),
-        caption_bank=jax.device_put(jnp.asarray(bank, jnp.bfloat16), device),
+        caption_bank=bank,
         compute_dtype=jnp.bfloat16,
     )
 
-    batch_images = 2
+    rng = np.random.default_rng(0)
+    batch_images = 4
     images = [
         rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         for _ in range(batch_images)
     ]
     crops_per_image = 1 + engine.n_blocks  # 305 for scales (2,3,4)
 
-    # warmup / compile
+    # warmup / compile (single-dispatch fused competition scoring)
     log("compiling + warmup…")
-    engine.run_batch(images)
+    engine.run_batch_fused(images)
     log("warmup done; timing")
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        engine.run_batch(images)
+    for _ in engine.run_batches_fused([images] * iters, depth=2):
+        pass
     dt = time.perf_counter() - t0
 
     crops = iters * batch_images * crops_per_image

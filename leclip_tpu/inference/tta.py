@@ -211,18 +211,46 @@ class TTAEngine:
         self._feature_fn_cache[key] = feature_fn
         return feature_fn
 
-    def _score(self, spec: ModelSpec, feats, aug, scores):
+    def _model_groups(self):
+        """Ensemble members grouped by flags, each group's trainables and
+        text features stacked along a model axis → ONE vmapped dispatch per
+        group instead of one per member (per-dispatch tunnel latency is
+        material on networked TPUs)."""
+        if getattr(self, "_groups", None) is not None:
+            return self._groups
+        by_flags: Dict[DenseFlags, List[str]] = {}
+        for name, spec in self.models.items():
+            by_flags.setdefault(spec.flags, []).append(name)
+        groups = []
+        for flags, names in by_flags.items():
+            stacked_trainable = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[self.models[n].trainable for n in names],
+            )
+            keys = self.models[names[0]].text_feats.keys()
+            stacked_feats = {
+                k: jnp.stack([self.models[n].text_feats[k] for n in names])
+                for k in keys
+            }
+            groups.append((names, flags, stacked_trainable, stacked_feats))
+        self._groups = groups
+        return groups
+
+    def _score_group(self, flags, stacked_trainable, stacked_feats, feats, aug, scores):
         if self._score_fn is None:
 
             @functools.partial(jax.jit, static_argnums=(2,))
-            def score_fn(trainable, text_feats, flags, image_feats, aug_, scores_):
-                return test_logits_from_features(
-                    trainable, text_feats, image_feats, flags,
-                    precomputed_retrieval=(aug_, scores_),
-                )
+            def score_fn(trainables, text_feats, flags_, image_feats, aug_, scores_):
+                def one(tr, tf):
+                    return test_logits_from_features(
+                        tr, tf, image_feats, flags_,
+                        precomputed_retrieval=(aug_, scores_),
+                    )
+
+                return jax.vmap(one)(trainables, text_feats)
 
             self._score_fn = score_fn
-        return self._score_fn(spec.trainable, spec.text_feats, spec.flags, feats, aug, scores)
+        return self._score_fn(stacked_trainable, stacked_feats, flags, feats, aug, scores)
 
     # ------------------------------ passes ----------------------------------
 
@@ -261,11 +289,19 @@ class TTAEngine:
 
         results: Dict[str, dict] = {}
         sims_saved = None
-        for name, spec in self.models.items():
-            out = self._score(spec, feats, aug, scores)
-            g = np.asarray(out.logits_global, np.float32).reshape(b, n, -1)
-            l = np.asarray(out.logits_local, np.float32).reshape(b, n, -1)
-            sims = np.asarray(out.topk_sim_scores, np.float32).reshape(b, n, -1)
+        per_model = {}
+        for names, flags, st_tr, st_tf in self._model_groups():
+            out = self._score_group(flags, st_tr, st_tf, feats, aug, scores)
+            g_all = np.asarray(out.logits_global, np.float32)
+            l_all = np.asarray(out.logits_local, np.float32)
+            s_all = np.asarray(out.topk_sim_scores, np.float32)
+            for mi, name in enumerate(names):
+                per_model[name] = (g_all[mi], l_all[mi], s_all[mi])
+        for name in self.models:
+            g_flat, l_flat, sims_flat = per_model[name]
+            g = g_flat.reshape(b, n, -1)
+            l = l_flat.reshape(b, n, -1)
+            sims = sims_flat.reshape(b, n, -1)
             if self.use_freq:
                 p = np.asarray(self.cooccurrence)
                 l = np.asarray(adjust_predictions(l, p))
@@ -289,3 +325,132 @@ class TTAEngine:
                 sims_saved = {"sims_all": sims[:, 0], "sims_blocks_all": sims[:, 1:]}
         results["_sims"] = sims_saved
         return results
+
+    # --------------------- fully-fused single-dispatch path ------------------
+
+    def _fused_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int):
+        """ONE jitted program: crops → encoder → all ensemble members →
+        block fusion (fuse/fuse6) → per-class routing → fused [B, C] scores.
+
+        On a networked TPU every dispatch and every device→host transfer pays
+        ~30ms round-trip latency; the per-model python loop + per-output
+        np.asarray of `run_batch` costs ~10 round trips per batch. This path
+        is one dispatch and one [B, C] transfer — the production fast path
+        when per-model dumps aren't requested."""
+        key = ("fused", bucket, n_boxes, batch)
+        fn = self._feature_fn_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops.ensemble import fuse as fuse_fn, fuse6 as fuse6_fn
+
+        clip_cfg = self.clip_cfg
+        dtype = self.compute_dtype
+        size = self.crop_size
+        topk = self.topk
+        has_bank = self.caption_bank is not None
+        use_freq = self.use_freq
+        groups = self._model_groups()
+        flags0 = groups[0][1]
+        names_order = [n for names, *_ in groups for n in names]
+        base = "best" if "best" in names_order else names_order[0]
+        coef = 1.5
+        b = batch
+
+        @jax.jit
+        def fused_fn(clip_params, bank, images_u8, boxes, group_trs, group_tfs,
+                     routing_r, cooc):
+            imgs = images_u8.astype(dtype) / 255.0
+
+            def one(img, bxs):
+                crops = crop_and_resize(img, bxs, out_size=size, method="cubic")
+                return clip_normalize(crops)
+
+            crops = jax.vmap(one)(imgs, boxes)
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags0)
+            if has_bank:
+                aug, scores = retrieval_augment(feats.global_feat, bank, topk)
+            else:
+                aug = feats.global_feat
+                scores = jnp.zeros((flat.shape[0], topk), jnp.float32)
+            sims_blocks = scores.reshape(b, n_boxes, -1)[:, 1:]
+
+            results = []
+            for gi, (names, flags, _, _) in enumerate(groups):
+                tr, tf = group_trs[gi], group_tfs[gi]
+
+                def score_one(t, f, flags=flags):
+                    return test_logits_from_features(
+                        t, f, feats, flags, precomputed_retrieval=(aug, scores)
+                    )
+
+                out = jax.vmap(score_one)(tr, tf)
+                m = len(names)
+                g = out.logits_global.reshape(m, b, n_boxes, -1)
+                l = out.logits_local.reshape(m, b, n_boxes, -1)
+                if use_freq:
+                    l = adjust_predictions(l, cooc)
+                for mi, name in enumerate(names):
+                    use6 = name == base
+                    f = fuse6_fn if use6 else fuse_fn
+                    aux_coef = 1.5 if use6 else 1.0
+                    o = g[mi, :, 0] + coef * f(g[mi, :, 1:], sims_blocks)
+                    a = l[mi, :, 0] + coef * f(l[mi, :, 1:], sims_blocks)
+                    results.append((name, o + aux_coef * a))
+            stack = jnp.stack([r for _, r in results])          # [M, B, C]
+            fused = jnp.take_along_axis(
+                stack.transpose(1, 2, 0), routing_r[None, :, None], axis=2
+            )[..., 0]
+            return fused
+
+        # routing vector over the stacking order used above
+        from ..ops.ensemble import DEFAULT_ROUTING, routing_vector
+
+        n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
+        self._fused_routing = jnp.asarray(
+            routing_vector([n for n, _ in
+                            [(nm, None) for names, *_ in groups for nm in names]],
+                           DEFAULT_ROUTING, base=base, n_cls=n_cls)
+        )
+        self._feature_fn_cache[key] = fused_fn
+        return fused_fn
+
+    def run_batch_fused(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Single-dispatch competition scoring → fused [B, n_cls] (the
+        impreds.json numbers), everything on device."""
+        return np.asarray(self.dispatch_batch_fused(images), np.float32)
+
+    def dispatch_batch_fused(self, images: Sequence[np.ndarray]):
+        """Async variant of run_batch_fused: returns the on-device fused
+        result WITHOUT synchronising. Read with np.asarray(...) later —
+        dispatching the next batch first overlaps its host→device transfer
+        with this batch's compute (double buffering)."""
+        padded, boxes, bucket = self.prepare_batch(images)
+        b, n = boxes.shape[0], boxes.shape[1]
+        fn = self._fused_fn(bucket, n, b)
+        groups = self._model_groups()
+        bank = self.caption_bank
+        if bank is None:
+            bank = jnp.zeros((1, 1), jnp.float32)
+        cooc = self.cooccurrence
+        if cooc is None:
+            n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
+            cooc = jnp.zeros((n_cls, n_cls), jnp.float32)
+        return fn(
+            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes),
+            tuple(g[2] for g in groups), tuple(g[3] for g in groups),
+            self._fused_routing, cooc,
+        )
+
+    def run_batches_fused(self, batches, depth: int = 2):
+        """Pipelined fused scoring over an iterable of image lists; yields
+        np [B, C] per batch with `depth`-deep dispatch-ahead."""
+        from collections import deque
+
+        pending = deque()
+        for images in batches:
+            pending.append(self.dispatch_batch_fused(images))
+            if len(pending) >= depth:
+                yield np.asarray(pending.popleft(), np.float32)
+        while pending:
+            yield np.asarray(pending.popleft(), np.float32)

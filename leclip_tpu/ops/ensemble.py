@@ -101,6 +101,24 @@ def model_result(
     return o + aux_coef * a
 
 
+def routing_vector(
+    model_names: Sequence[str],
+    routing: Dict[str, List[int]] = DEFAULT_ROUTING,
+    base: str = "best",
+    n_cls: int = 80,
+) -> np.ndarray:
+    """class → model-index vector for gather-based routing (device-friendly
+    alternative to column assignment)."""
+    names = list(model_names)
+    base_idx = names.index(base) if base in names else 0
+    r = np.full(n_cls, base_idx, np.int32)
+    for name, cols in routing.items():
+        if name in names:
+            valid = [c for c in cols if c < n_cls]
+            r[valid] = names.index(name)
+    return r
+
+
 def route_ensemble(
     per_model: Dict[str, np.ndarray],
     routing: Dict[str, List[int]] = DEFAULT_ROUTING,
@@ -112,7 +130,9 @@ def route_ensemble(
     if base not in per_model:
         base = next(iter(per_model))
     fused = per_model[base].copy()
+    n_cls = fused.shape[1]
     for name, cols in routing.items():
+        cols = [c for c in cols if c < n_cls]
         if name in per_model and cols:
             fused[:, cols] = per_model[name][:, cols]
     return fused

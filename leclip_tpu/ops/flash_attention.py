@@ -112,8 +112,12 @@ def flash_attention(
     rounding."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    # TPU tiling: the bias block's last dim is block_k → multiple of 128;
+    # block_q only needs sublane (8) alignment.
     block_q = min(block_q, _round_up(tq, 8))
-    block_k = min(block_k, _round_up(tk, 8))
+    block_q = _round_up(block_q, 8)
+    block_k = max(128, min(block_k, _round_up(tk, 128)))
+    block_k = _round_up(block_k, 128)
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
 

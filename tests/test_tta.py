@@ -95,3 +95,26 @@ def test_engine_use_freq(setup, rng):
     images = [np.zeros((64, 64, 3), np.uint8)]
     results = engine.run_batch(images)
     assert np.isfinite(results["best"]["output_pos"]).all()
+
+
+def test_fused_path_matches_host_fusion(setup):
+    """run_batch_fused (single-dispatch on-device fusion) must match the
+    run_batch → generate_final_answers host pipeline."""
+    import numpy as np
+    from leclip_tpu.ops.ensemble import generate_final_answers, DEFAULT_ROUTING
+
+    clip_params, specs = setup
+    engine = TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+    rng = np.random.default_rng(3)
+    images = [rng.integers(0, 255, (100, 120, 3)).astype(np.uint8),
+              rng.integers(0, 255, (80, 96, 3)).astype(np.uint8)]
+
+    fused_device = engine.run_batch_fused(images)
+
+    results = engine.run_batch(images)
+    sims = results.pop("_sims")
+    data = {k: v for k, v in results.items()}
+    fused_host = generate_final_answers(data, sims["sims_blocks_all"],
+                                        routing=DEFAULT_ROUTING, base="best")
+    assert fused_device.shape == fused_host.shape == (2, 4)
+    np.testing.assert_allclose(fused_device, fused_host, rtol=1e-4, atol=1e-4)
