@@ -43,6 +43,7 @@ from ..ops import losses as L
 from ..parallel.mesh import data_mesh, replicate, shard_batch
 from ..utils.logging import MetricMeter
 from ..utils.registry import TRAINER_REGISTRY
+from .metrics import MetricsWriter
 from .checkpoint import resume_if_exists, save_checkpoint
 from .config import Config
 from .train_state import TrainState, build_optimizer, create_train_state, epoch_lr_schedule
@@ -255,6 +256,7 @@ class CaptionDistillTrainer:
             )
         max_epoch = cfg.OPTIM.MAX_EPOCH
         meter = MetricMeter()
+        writer = MetricsWriter(cfg.OUTPUT_DIR) if cfg.OUTPUT_DIR else None
         t_start = time.time()
         for epoch in range(start_epoch, max_epoch):
             t_epoch = time.time()
@@ -277,6 +279,9 @@ class CaptionDistillTrainer:
                         f"epoch [{epoch + 1}/{max_epoch}] batch [{i + 1}/"
                         f"{self.batcher.steps_per_epoch()}] lr {lr:.2e} {meter}"
                     )
+                    if writer is not None:
+                        writer.write_scalars(host, int(self.state.step), prefix="train/")
+                        writer.write_scalar("train/lr", lr, int(self.state.step))
             if cfg.TRAIN.CHECKPOINT_FREQ > 0 and (
                 (epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0 or epoch + 1 == max_epoch
             ):
@@ -285,6 +290,8 @@ class CaptionDistillTrainer:
             if 0 <= cfg.TRAIN.early_stop_epoch <= epoch + 1:
                 print(f"early stop at epoch {epoch + 1}")
                 break
+        if writer is not None:
+            writer.close()
         print(f"training done in {time.time() - t_start:.1f}s")
         return self.state
 
