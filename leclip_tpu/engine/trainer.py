@@ -335,3 +335,41 @@ class CaptionDistillAdapterTrainer(CaptionDistillTrainer):
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             adapter=self.adapter, adapter_trainable=cfg.TRAINER.adapter_trainable,
         )
+
+
+def _trainer_validate(self, max_images: int = 64, batch_size: int = 8):
+    """Post-training validation pass (the reference's after_train final test /
+    val smoke split, dassl trainer.py:415-436): TTA-scores the val images
+    (test[::100]) with the CURRENT prompt params and returns evaluator
+    results. On the unlabeled competition split mAP is 0 by construction —
+    the pass exercises the full inference path (pipeline smoke, SURVEY §4)."""
+    from ..inference.tta import TTAEngine, build_model_spec
+    from .evaluator import MLClassificationEvaluator
+    from ..data.loader import ImageBatcher
+
+    val_images = self.dataset.val_images[:max_images]
+    if not val_images:
+        print("validate: no val images available")
+        return {}
+    params = jax.device_get(self.state.params)
+    prompt_params = {k: v for k, v in params.items() if k != "_adapter"}
+    spec = build_model_spec(
+        self.clip_params, self.clip_cfg, prompt_params, self.constants, self.flags
+    )
+    engine = TTAEngine(
+        self.clip_params, self.clip_cfg, {self.model_name: spec},
+        scales=self.cfg.TEST.multi_scale,
+        crop_size=self.clip_cfg.image_resolution,
+    )
+    evaluator = MLClassificationEvaluator(self.cfg.TRAINER.GL_merge_rate)
+    for images, _ in ImageBatcher(val_images, batch_size):
+        results = engine.run_batch(images)
+        out = results[self.model_name]
+        labels = np.zeros_like(out["output_final"])
+        evaluator.process(out["output_final"], labels, out["output_pos_final"])
+    res = evaluator.evaluate()
+    print(f"validate ({len(val_images)} images): {res}")
+    return res
+
+
+CaptionDistillTrainer.validate = _trainer_validate

@@ -104,3 +104,25 @@ def test_eval_groups_use_nctx64_for_ema(workspace, tmp_path):
     assert groups["ema"][3] == 64
     assert groups["best"][1] is True  # evidence
     assert groups["zema"][1] is False
+
+
+def test_trainer_validate_smoke(workspace, tmp_path):
+    """validate() exercises the full inference path on the val split."""
+    import jax
+    from leclip_tpu.cli.train import load_clip
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.engine.trainer import CaptionDistillTrainer
+
+    cfg = setup_config(opts=_common_opts(workspace) + [
+        "OUTPUT_DIR", str(tmp_path), "TEST.multi_scale", "(2,)",
+    ])
+
+    class _A:
+        weights = ""
+        backbone = "RN-TEST"
+
+    clip_cfg, clip_params = load_clip(cfg, _A)
+    tr = CaptionDistillTrainer(cfg, clip_params, clip_cfg)
+    # val = test[::100] → first image only with 3 test images
+    res = tr.validate()
+    assert res.get("mAP") == 0.0  # unlabeled split → forced 0 (parity)
