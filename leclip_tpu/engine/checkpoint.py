@@ -105,3 +105,40 @@ def resume_if_exists(state: TrainState, directory: str, name: str):
         return state, 0
     payload = load_checkpoint(path)
     return restore_train_state(state, payload), int(payload.get("epoch", -1)) + 1
+
+
+# ----------------------------- orbax backend --------------------------------
+# Production-grade alternative to the msgpack files above: Orbax handles
+# atomic writes, async saving, and sharded/multi-host arrays (the TPU-native
+# checkpointing SURVEY §5 recommends). Same per-model directory layout.
+
+
+def save_checkpoint_orbax(state: TrainState, directory: str, name: str, epoch: int) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(join(directory, name, f"orbax-{epoch}"))
+    payload = {
+        "params": jax.device_get(state.params),
+        "ema_params": jax.device_get(state.ema_params),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    with open(join(directory, name, "checkpoint_orbax"), "w") as f:
+        f.write(os.path.basename(path))
+    return path
+
+
+def load_checkpoint_orbax(directory: str, name: str, epoch: Optional[int] = None) -> dict:
+    import orbax.checkpoint as ocp
+
+    if epoch is None:
+        pointer = join(directory, name, "checkpoint_orbax")
+        with open(pointer) as f:
+            fname = f.read().strip()
+        path = os.path.abspath(join(directory, name, fname))
+    else:
+        path = os.path.abspath(join(directory, name, f"orbax-{epoch}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)

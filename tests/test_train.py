@@ -178,3 +178,20 @@ def test_adapter_frozen_variant(tmp_path):
     b = shard_batch(next(tr.batcher.epoch(0)), tr.mesh)
     _, m = tr.train_step(tr.state, b["img"], b["label"])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from leclip_tpu.engine.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    trainer = make_trainer(tmp_path)
+    path = save_checkpoint_orbax(trainer.state, str(tmp_path), "prompt_learner", 0)
+    assert os.path.isdir(path)
+    restored = load_checkpoint_orbax(str(tmp_path), "prompt_learner")
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["ctx"]),
+        np.asarray(trainer.state.params["ctx"]),
+    )
+    assert restored["epoch"] == 0
