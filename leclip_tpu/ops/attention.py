@@ -65,6 +65,22 @@ def attention_core(
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
+def _attention_bthd(q, k, v, mask, impl):
+    """Attention over [B, T, H, Dh] without explicit head transposes — the
+    einsums let XLA choose layouts instead of materialising [B,H,T,D]
+    permutes (which cost real HBM traffic at TTA batch sizes)."""
+    scale = q.shape[-1] ** -0.5
+    store_dtype = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    logits = logits.astype(store_dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     params: dict,
@@ -78,14 +94,25 @@ def multi_head_attention(
     params: {qkv_kernel [D,3D], qkv_bias [3D], out_kernel [D,D], out_bias [D]}
     """
     b, t, d = x.shape
+    hd = d // n_heads
     qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
+    if impl == "pallas":
+        def heads(y):
+            return y.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
 
-    def heads(y):
-        return y.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
-
-    out = attention_core(heads(q), heads(k), heads(v), mask=mask, impl=impl)
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        out = attention_core(heads(q), heads(k), heads(v), mask=mask, impl=impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    else:
+        out = _attention_bthd(
+            q.reshape(b, t, n_heads, hd),
+            k.reshape(b, t, n_heads, hd),
+            v.reshape(b, t, n_heads, hd),
+            mask, impl,
+        ).reshape(b, t, d)
     return out @ params["out_kernel"] + params["out_bias"]
 
 
