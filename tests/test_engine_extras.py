@@ -103,3 +103,20 @@ def test_bf16_precision_trainer(tmp_path):
     b = shard_batch(next(tr.batcher.epoch(0)), tr.mesh)
     _, m = tr.train_step(tr.state, b["img"], b["label"])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_parse_results_cli(tmp_path, capsys):
+    from leclip_tpu.cli.parse_results import main, summarize
+    from leclip_tpu.engine.metrics import MetricsWriter
+
+    run = tmp_path / "run1"
+    w = MetricsWriter(str(run))
+    for step, loss in enumerate([3.0, 2.0, 1.0]):
+        w.write_scalar("train/loss", loss, step)
+    w.close()
+    rows = summarize([str(run)])
+    assert rows[0]["tag"] == "train/loss"
+    assert rows[0]["last"] == 1.0 and rows[0]["n"] == 3
+    main([str(run), "--tag", "train/loss"])
+    out = capsys.readouterr().out
+    assert "train/loss" in out and "last=1" in out
