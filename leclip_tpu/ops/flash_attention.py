@@ -29,6 +29,10 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *, scale):
+    """Online-softmax attention over a GROUP of G batch·head slices per
+    program — per-program work is G batched [bq,D]×[D,bk] matmuls, enough to
+    keep the MXU busy (one-slice-per-program grids at short T leave it
+    >90% idle)."""
     jk = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -38,28 +42,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [bq, D]
-    k = k_ref[0]  # [bk, D]
-    v = v_ref[0]  # [bk, D]
+    q = q_ref[:]  # [G, bq, D]
+    k = k_ref[:]  # [G, bk, D]
+    v = v_ref[:]  # [G, bk, D]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    s = s + bias_ref[:]
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [G, bq, bk]
+    s = s + bias_ref[:][None]
 
-    m_prev = m_ref[:, :1]                      # [bq, 1]
+    m_prev = m_ref[:, :, :1]                   # [G, bq, 1]
     m_cur = jnp.maximum(m_prev, s.max(-1, keepdims=True))
     corr = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(s - m_cur)                     # [bq, bk]
-    l_ref[:, :1] = l_ref[:, :1] * corr + p.sum(-1, keepdims=True)
-    m_ref[:, :1] = m_cur
+    p = jnp.exp(s - m_cur)                     # [G, bq, bk]
+    l_ref[:, :, :1] = l_ref[:, :, :1] * corr + p.sum(-1, keepdims=True)
+    m_ref[:, :, :1] = m_cur
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(jk == n_k - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / l_ref[:, :, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,30 +71,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "group", "interpret")
 )
-def _flash_attention_padded(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
+def _flash_attention_padded(q, k, v, bias, block_q: int, block_k: int,
+                            group: int, interpret: bool):
     bh, tq, d = q.shape
     tk = k.shape[1]
     scale = d**-0.5
-    grid = (bh, tq // block_q, tk // block_k)
+    grid = (bh // group, tq // block_q, tk // block_k)
 
     kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((group, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((group, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((group, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((block_q, block_k), lambda b, i, j: (i, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((group, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, d), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -104,12 +109,13 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 256,
+    group: int = 8,
 ) -> jnp.ndarray:
     """Fused attention over [B, H, T, D]; `mask` is an additive [Tq, Tk]
     float mask (e.g. causal). Matches the XLA path to fp32-accumulation
-    rounding."""
+    rounding. ``group`` batch·head slices are processed per program."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     # TPU tiling: the bias block's last dim is block_k → multiple of 128;
@@ -120,9 +126,12 @@ def flash_attention(
     block_k = _round_up(block_k, 128)
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
+    bh = b * h
+    while group > 1 and bh % group:
+        group //= 2
 
     def flat(x, t_p, t):
-        x = x.reshape(b * h, t, d)
+        x = x.reshape(bh, t, d)
         if t_p != t:
             x = jnp.pad(x, ((0, 0), (0, t_p - t), (0, 0)))
         return x
@@ -137,5 +146,5 @@ def flash_attention(
         bias = bias.at[:, tk:].set(NEG_INF)
 
     interpret = jax.default_backend() != "tpu"
-    out = _flash_attention_padded(qf, kf, vf, bias, block_q, block_k, interpret)
+    out = _flash_attention_padded(qf, kf, vf, bias, block_q, block_k, group, interpret)
     return out[:, :tq].reshape(b, h, tq, d)
