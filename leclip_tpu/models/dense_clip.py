@@ -233,12 +233,15 @@ def retrieval_augment(
     sims = jnp.einsum(
         "be,ne->bn", global_feat, caption_bank, preferred_element_type=jnp.float32
     )
+    k_eff = min(topk, sims.shape[-1])
     if exact or sims.shape[-1] <= 4096:
-        scores, idx = jax.lax.top_k(sims, topk)
+        scores, idx = jax.lax.top_k(sims, k_eff)
     else:
-        scores, idx = jax.lax.approx_max_k(sims, topk, recall_target=0.95)
-    selected = caption_bank[idx]  # [B, k, E]
+        scores, idx = jax.lax.approx_max_k(sims, k_eff, recall_target=0.95)
+    selected = caption_bank[idx]  # [B, k_eff, E]
     merged = (global_feat + selected.mean(axis=1).astype(global_feat.dtype)) / 2.0
+    if k_eff < topk:  # tiny banks: keep the advertised [B, topk] shape
+        scores = jnp.pad(scores, ((0, 0), (0, topk - k_eff)))
     return merged, scores
 
 
