@@ -27,7 +27,6 @@ import numpy as np
 from .labeling import CaptionLabeler, contains_chinese
 from .tokenizer import tokenize
 from .vocab import (
-    COCO_CLASSNAME_SYNONYMS,
     COCO_OBJECT_CATEGORIES,
     IMAGENET_TEMPLATES,
     PROMPT_TEMPLATE,

@@ -24,7 +24,7 @@ import json
 import os
 from dataclasses import dataclass
 from os.path import join
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
@@ -32,7 +32,6 @@ from ..engine.config import Config
 from ..utils.registry import DATASET_REGISTRY
 from . import corpora
 from .labeling import CaptionLabeler
-from .tokenizer import tokenize
 from .vocab import COCO_OBJECT_CATEGORIES
 
 

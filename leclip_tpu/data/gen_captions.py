@@ -19,7 +19,7 @@ import json
 import os
 import random
 import re
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 from .labeling import CaptionLabeler, contains_chinese
 from .vocab import COCO_OBJECT_CATEGORIES

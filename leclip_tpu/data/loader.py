@@ -11,8 +11,7 @@ through XLA collectives, not a sampler wrapper.
 from __future__ import annotations
 
 import concurrent.futures
-import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

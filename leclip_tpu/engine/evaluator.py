@@ -8,7 +8,7 @@ average_precision :140-155, mAP :158-175, MLClassification :178-233 with the
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Supports multi-backbone ensembles by running one FineTuner per backbone
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

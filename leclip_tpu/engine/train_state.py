@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.prompt import ema_init
-from .config import Config, OptimConfig
+from .config import OptimConfig
 
 
 class TrainState(NamedTuple):

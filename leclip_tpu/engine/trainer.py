@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,6 @@ from ..data.loader import CaptionBatcher
 from ..models.clip import CLIPConfig
 from ..models.dense_clip import (
     DenseFlags,
-    custom_clip_train_forward,
     encode_captions,
     train_logits_from_features,
 )

@@ -29,11 +29,7 @@ from ..engine.evaluator import MLClassificationEvaluator
 from ..models.clip import CLIPConfig, clip_encode_text
 from ..models.dense_clip import DenseFlags
 from ..models.prompt import build_prompt_learner
-from ..ops.ensemble import (
-    DEFAULT_ROUTING,
-    generate_final_answers,
-    normalized_cooccurrence,
-)
+from ..ops.ensemble import DEFAULT_ROUTING, generate_final_answers
 from .tta import ModelSpec, TTAEngine, build_model_spec
 
 # run_eval.sh model grouping: (names, use_evidence, use_freq, n_ctx)

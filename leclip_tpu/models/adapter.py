@@ -14,8 +14,6 @@ capable, defaulting to the reference behavior.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ the reference's strict=False load (Caption_distill_double.py:929-938).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

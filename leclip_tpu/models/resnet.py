@@ -17,7 +17,7 @@ at inference (the tower is always frozen in this framework).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ model.py:318-392 and trainers/Caption_distill_double.py:72-101 TextEncoder):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

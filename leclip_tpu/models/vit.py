@@ -9,8 +9,6 @@ equivalent to the stride-p conv but avoids conv lowering entirely).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ All are pure functions of (logits, labels, …) so they jit/grad cleanly.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

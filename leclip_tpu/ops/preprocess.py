@@ -13,7 +13,7 @@ Images are float32/bfloat16 in [0, 1], NHWC.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ are elementwise VPU work.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

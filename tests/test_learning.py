@@ -1,0 +1,69 @@
+"""Functional learning test: prompt tuning must actually learn — mAP on
+HELD-OUT captions (texts-as-images applies at eval too) rises far above its
+untrained value. Exercises dataset → train step → forward → evaluator as one
+system."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leclip_tpu.data.datasets import CaptionDataset
+from leclip_tpu.data.tokenizer import tokenize
+from leclip_tpu.engine.config import setup_config
+from leclip_tpu.engine.evaluator import mAP
+from leclip_tpu.engine.trainer import CaptionDistillTrainer
+from leclip_tpu.models.clip import PRESETS, init_clip_params
+from leclip_tpu.models.dense_clip import dense_train_forward
+from leclip_tpu.parallel.mesh import shard_batch
+
+CLASSNAMES = ["dog", "cat", "pizza", "bicycle"]
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    contexts = ["in a park", "on a table", "near the beach", "at night",
+                "with a friend", "under the tree"]
+    texts, labels = [], []
+    for _ in range(n):
+        present = rng.random(4) < 0.4
+        present[rng.integers(4)] = True
+        names = [c for c, p in zip(CLASSNAMES, present) if p]
+        ctx = contexts[rng.integers(len(contexts))]
+        texts.append("a photo of a " + " and a ".join(names) + f" {ctx}.")
+        labels.append(present.astype(np.int8))
+    return tokenize(texts), np.stack(labels)
+
+
+def test_prompt_tuning_learns():
+    tiny = PRESETS["RN-TEST"]
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    tokens, labels = synth(96, seed=0)
+    held_tokens, held_labels = synth(48, seed=99)
+    ds = CaptionDataset(tokens, labels, [], CLASSNAMES)
+    cfg = setup_config(opts=[
+        "OPTIM.MAX_EPOCH", "4", "OPTIM.LR", "0.05", "OPTIM.WARMUP_EPOCH", "-1",
+        "DATALOADER.BATCH_SIZE_TRAIN", "32", "TRAINER.N_CTX", "4",
+        "TRAIN.PRINT_FREQ", "1000", "TRAIN.CHECKPOINT_FREQ", "-1",
+    ])
+    tr = CaptionDistillTrainer(cfg, clip_params, tiny, dataset=ds)
+
+    def score(params):
+        out, out_local = dense_train_forward(
+            tr.clip_params, tiny, params, tr.constants,
+            jnp.asarray(held_tokens), tr.flags,
+        )
+        merged = 0.5 * np.asarray(out) + 0.5 * np.asarray(out_local)
+        return mAP(held_labels, merged)
+
+    before = score(tr.state.params)
+    state = tr.state
+    for epoch in range(6):
+        for batch in tr.batcher.epoch(epoch):
+            sb = shard_batch(batch, tr.mesh)
+            state, _ = tr.train_step(state, sb["img"], sb["label"])
+    after = score(state.params)
+    # untrained prompts score ~49 mAP on this split; training lifts held-out
+    # mAP by >10 points even with a RANDOM tiny backbone (measured ~63) —
+    # the signal comes purely from prompt/caption alignment
+    assert after > before + 8, (before, after)
+    assert after > 58, (before, after)
