@@ -66,6 +66,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *
         o_ref[:] = (acc_ref[:] / l_ref[:, :, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    """Single-K-block variant: the whole (padded) key axis fits one block, so
+    softmax is computed directly — no online stats, no scratch (halves VMEM
+    and drops the correction math)."""
+    q = q_ref[:]  # [G, bq, D]
+    k = k_ref[:]
+    v = v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[:][None]
+    m = s.max(-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -79,8 +99,11 @@ def _flash_attention_padded(q, k, v, bias, block_q: int, block_k: int,
     tk = k.shape[1]
     scale = d**-0.5
     grid = (bh // group, tq // block_q, tk // block_k)
+    single_k = tk // block_k == 1
 
-    kernel = functools.partial(_flash_kernel, scale=scale)
+    kernel = functools.partial(
+        _flash_kernel_single if single_k else _flash_kernel, scale=scale
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -92,7 +115,7 @@ def _flash_attention_padded(q, k, v, bias, block_q: int, block_k: int,
         ],
         out_specs=pl.BlockSpec((group, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-        scratch_shapes=[
+        scratch_shapes=[] if single_k else [
             pltpu.VMEM((group, block_q, d), jnp.float32),
             pltpu.VMEM((group, block_q, 128), jnp.float32),
             pltpu.VMEM((group, block_q, 128), jnp.float32),
