@@ -124,17 +124,6 @@ def build_model_spec(
     return ModelSpec(jax.device_get(trainable), {k: jnp.asarray(v) for k, v in feats.items()}, flags)
 
 
-class TTAOutputs(NamedTuple):
-    """Per model-name arrays shaped like the reference's save dict."""
-
-    output: np.ndarray             # [N, C] global logits
-    output_pos: np.ndarray         # [N, C] local (dense) logits
-    output_blocks: np.ndarray      # [N, n_blocks, C]
-    output_pos_blocks: np.ndarray  # [N, n_blocks, C]
-    output_final: np.ndarray       # [N, C] block-aggregated global
-    output_pos_final: np.ndarray   # [N, C] block-aggregated local
-
-
 class TTAEngine:
     def __init__(
         self,

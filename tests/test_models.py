@@ -159,3 +159,34 @@ def test_config_from_state_dict_presets():
     assert params["visual"]["positional_embedding"].shape[0] == cfg.grid_size**2 + 1
     assert PRESETS["RN50"].vision_heads == 32
     assert PRESETS["ViT-B/16"].vision_heads == 12
+
+
+@requires_reference
+def test_load_clip_weights_from_file(tmp_path):
+    """zoo/convert path: save a reference-format torch checkpoint and load it
+    through the public file loader."""
+    import torch
+
+    ref = _build_ref(TINY_RN)
+    path = str(tmp_path / "tiny_rn.pt")
+    torch.save(ref.state_dict(), path)
+
+    from leclip_tpu.models.convert import load_clip_weights
+    from leclip_tpu.models.zoo import load
+
+    cfg, params = load_clip_weights(path)
+    assert cfg == TINY_RN
+    cfg2, params2 = load(path)  # zoo.load accepts local paths
+    np.testing.assert_array_equal(
+        np.asarray(params["text"]["text_projection"]),
+        np.asarray(params2["text"]["text_projection"]),
+    )
+
+
+def test_public_api_exports():
+    import leclip_tpu
+
+    assert callable(leclip_tpu.tokenize)
+    assert "RN50" in leclip_tpu.PRESETS
+    assert leclip_tpu.COCO_OBJECT_CATEGORIES[0] == "person"
+    assert callable(leclip_tpu.TTAEngine)
