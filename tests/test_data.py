@@ -179,3 +179,45 @@ def test_real_reference_corpus_loads():
     assert labels.sum() >= len(labels)  # every kept caption has ≥1 label
     singles = corpora.load_single_label_corpus(root, lab)
     assert len(singles) > 1000
+
+
+@requires_reference
+def test_reference_corpus_train_smoke(tmp_path):
+    """Train a few steps on a REAL shipped ChatGLM corpus end-to-end (dataset
+    builder → batcher → train step) — the round-trip the competition recipe
+    performs, at tiny-tower scale."""
+    import jax
+
+    from leclip_tpu.engine.trainer import CaptionDistillTrainer
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    cfg = setup_config(opts=[
+        "DATASET.NAME", "chatglm_caption_zuan",  # no category_sets needed
+        "DATASET.caption_feat_root",
+        f"{REFERENCE_ROOT}/project/output/text_result",
+        "TRAIN.Caption_name", "ChatGLM_multi_labels_2k_v2",
+        "OPTIM.MAX_EPOCH", "1",
+        "DATALOADER.BATCH_SIZE_TRAIN", "256",
+        "TRAINER.N_CTX", "4",
+        "OUTPUT_DIR", str(tmp_path),
+        "TRAIN.PRINT_FREQ", "1000",
+    ])
+    tiny = PRESETS["RN-TEST"]
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    import leclip_tpu.data.corpora as corpora
+
+    # avoid writing cache pkls into the read-only reference tree
+    orig = corpora.load_multi_label_corpus
+    corpora.load_multi_label_corpus = lambda root, name, labeler, cache=True: orig(
+        root, name, labeler, cache=False
+    )
+    try:
+        tr = CaptionDistillTrainer(cfg, clip_params, tiny)
+    finally:
+        corpora.load_multi_label_corpus = orig
+    assert len(tr.dataset) > 5000  # singles + corpus + templates
+    # (test IMAGES aren't shipped in the reference repo — only captions)
+    b = shard_batch(next(tr.batcher.epoch(0)), tr.mesh)
+    _, m = tr.train_step(tr.state, b["img"], b["label"])
+    assert np.isfinite(float(m["loss"]))
