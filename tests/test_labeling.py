@@ -77,3 +77,25 @@ def test_deterministic():
     assert L[idx("sports ball")] == 1
     assert L[idx("baseball bat")] == 1
     assert L[idx("baseball glove")] == 1
+
+
+def test_voc_and_nuswide_vocabularies():
+    from leclip_tpu.data.vocab import (
+        NUSWIDE_CLASSNAME_SYNONYMS,
+        NUSWIDE_OBJECT_CATEGORIES,
+        VOC_CLASSNAME_SYNONYMS,
+        VOC_OBJECT_CATEGORIES,
+    )
+
+    assert len(VOC_OBJECT_CATEGORIES) == 20
+    assert len(NUSWIDE_OBJECT_CATEGORIES) == 81
+    # CaptionLabeler works over alternate vocabularies
+    lab = CaptionLabeler(VOC_CLASSNAME_SYNONYMS)
+    L = lab("a sofa next to a tv in the living room")
+    assert L[VOC_OBJECT_CATEGORIES.index("sofa")] == 1
+    assert L[VOC_OBJECT_CATEGORIES.index("tvmonitor")] == 1
+    lab_nus = CaptionLabeler(NUSWIDE_CLASSNAME_SYNONYMS)
+    L = lab_nus("whales swimming near the coast at sunset")
+    assert L[NUSWIDE_OBJECT_CATEGORIES.index("whales")] == 1
+    assert L[NUSWIDE_OBJECT_CATEGORIES.index("beach")] == 1
+    assert L[NUSWIDE_OBJECT_CATEGORIES.index("sunset")] == 1
