@@ -123,10 +123,11 @@ def run_full_inference(
     batcher = ImageBatcher(image_paths, batch_size)
     if save_dir is None:
         fused_parts = []
-        for bi, (images, _) in enumerate(batcher):
-            fused_parts.append(engine.run_batch_fused(images))
+        batches = (images for images, _ in batcher)
+        for bi, part in enumerate(engine.run_batches_fused(batches, depth=2)):
+            fused_parts.append(part)
             if progress:
-                print(f"TTA batch {bi + 1}/{len(batcher)} ({len(images)} images, fused)")
+                print(f"TTA batch {bi + 1}/{len(batcher)} (fused, pipelined)")
         fused = np.concatenate(fused_parts)
         if out_json:
             import json
