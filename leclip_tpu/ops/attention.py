@@ -21,11 +21,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Measured on v5e (ViT-B/16, T=197, bf16): the flash kernel's (BH, 2, 2) grid
-# of [128,64] blocks underutilises the MXU — XLA attention is ~2x faster and
-# compiles 7x faster at short sequence lengths. Flash pays off once the
-# logits matrix stops fitting in VMEM.
-_PALLAS_MIN_SEQ = 512
+# Measured on v5e (bf16, D=64): XLA's attention emission matches or beats our
+# flash kernel at every length we can benchmark (T=197: 165 vs 161ms/12
+# layers; T=1024 and T=4096: XLA ≤ flash net of the ~30ms dispatch floor).
+# The pallas kernel therefore only auto-engages at lengths where the [T, T]
+# logits become a memory hazard; pass impl='pallas' to force it.
+_PALLAS_MIN_SEQ = 8192
 
 
 def attention_core(
