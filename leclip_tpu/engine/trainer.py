@@ -224,24 +224,26 @@ class CaptionDistillTrainer:
             )
             lmpt_counts = jnp.asarray(freq["class_freq"], jnp.float32)
 
-        self.train_step = make_train_step(
-            self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,
+        self._step_kwargs = dict(
             loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             co_matrix=co_matrix, resample_params=resample_params,
             lmpt=cfg.TRAIN.LMPT, lmpt_lambda=cfg.TRAIN.LMPT_LAMBDA,
             lmpt_class_counts=lmpt_counts, m_ctx=cfg.TRAINER.M_CTX,
         )
+        self.train_step = make_train_step(
+            self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,
+            **self._step_kwargs,
+        )
 
     def set_cooccurrence(self, co_matrix: np.ndarray):
         """Install the freq_stats co-occurrence matrix for the
-        ranking_with_cooccurrence loss (rebuilds the step closure)."""
-        cfg = self.cfg
+        ranking_with_cooccurrence loss (rebuilds the step closure, keeping
+        every other loss artifact)."""
+        self._step_kwargs["co_matrix"] = jnp.asarray(co_matrix, jnp.float32)
         self.train_step = make_train_step(
             self.clip_params, self.clip_cfg, self.constants, self.optimizer,
-            self.flags, loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
-            ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
-            co_matrix=jnp.asarray(co_matrix, jnp.float32),
+            self.flags, **self._step_kwargs,
         )
 
     # ------------------------------ loop ------------------------------------

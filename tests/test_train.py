@@ -195,3 +195,17 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(trainer.state.params["ctx"]),
     )
     assert restored["epoch"] == 0
+
+
+def test_cooccurrence_loss_path(tmp_path):
+    from leclip_tpu.data.freq_stats import build_freq_stats
+    from leclip_tpu.ops.ensemble import normalized_cooccurrence
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    trainer = make_trainer(tmp_path, **{"TRAIN.LOSSFUNC": "ranking_with_cooccurrence"})
+    stats = build_freq_stats(trainer.dataset.labels)
+    p = normalized_cooccurrence(stats["adj"] + 1e-3, stats["nums"] + 1.0)
+    trainer.set_cooccurrence(p)
+    b = shard_batch(next(trainer.batcher.epoch(0)), trainer.mesh)
+    _, m = trainer.train_step(trainer.state, b["img"], b["label"])
+    assert np.isfinite(float(m["loss"]))
