@@ -26,10 +26,16 @@ def _t(x) -> np.ndarray:
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import warnings
+
     import torch
 
     try:
-        model = torch.jit.load(path, map_location="cpu").eval()
+        with warnings.catch_warnings():
+            # OpenAI ships TorchScript archives; torch.jit.load is the only
+            # reader for them (its deprecation warning is noise here)
+            warnings.simplefilter("ignore", DeprecationWarning)
+            model = torch.jit.load(path, map_location="cpu").eval()
         sd = model.state_dict()
     except RuntimeError:
         sd = torch.load(path, map_location="cpu", weights_only=False)
