@@ -85,7 +85,11 @@ def load_ensemble_specs(
         key = jax.random.PRNGKey(cfg.SEED)
         constants_cache: Dict[int, dict] = {}
         for name in names:
-            trainable = load_prompt_params(model_dir, name)
+            try:
+                trainable = load_prompt_params(model_dir, name)
+            except FileNotFoundError:
+                print(f"note: no checkpoint for ensemble member {name!r} — skipped")
+                continue
             # n_ctx comes from the checkpoint itself (the reference relies on
             # the eval launcher passing the right N_CTX — ema is 64 — but the
             # ctx shape is authoritative and a mismatch silently corrupts
@@ -103,6 +107,8 @@ def load_ensemble_specs(
             specs[name] = build_model_spec(
                 clip_params, clip_cfg, trainable, constants_cache[actual_nctx], flags
             )
+    if not specs:
+        raise FileNotFoundError(f"no ensemble checkpoints found under {model_dir!r}")
     return specs
 
 

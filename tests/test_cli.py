@@ -126,3 +126,42 @@ def test_trainer_validate_smoke(workspace, tmp_path):
     # val = test[::100] → first image only with 3 test images
     res = tr.validate()
     assert res.get("mAP") == 0.0  # unlabeled split → forced 0 (parity)
+
+
+def test_eval_cli_with_freq_stats_and_bank(workspace, tmp_path):
+    """eval CLI consumes --freq-stats (co-occurrence modulation) and
+    --caption-bank files."""
+    import pickle
+
+    import numpy as np
+
+    from leclip_tpu.cli.train import main as train_main
+    from leclip_tpu.cli.eval import main as eval_main
+    from leclip_tpu.data.freq_stats import save_freq_stats
+
+    out = tmp_path / "run"
+    train_main(["--output-dir", str(out), "--backbone", "RN-TEST",
+                "--seed", "0"] + _common_opts(workspace))
+    model_dir = tmp_path / "best_model"
+    for name in ["best"]:
+        (model_dir / name).mkdir(parents=True)
+        shutil.copy(out / "prompt_learner" / "model.ckpt-0",
+                    model_dir / name / "model.ckpt")
+    rng = np.random.default_rng(0)
+    stats = {"adj": rng.random((80, 80)) + 0.1, "nums": rng.random(80) + 1.0}
+    freq_path = tmp_path / "freq_stats.pkl"
+    save_freq_stats(stats, str(freq_path))
+    bank = rng.normal(size=(50, 64)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    bank_path = tmp_path / "bank.pkl"
+    with open(bank_path, "wb") as f:
+        pickle.dump(bank, f)
+    impreds = tmp_path / "impreds.json"
+    eval_main([
+        "--backbone", "RN-TEST", "--model-dir", str(model_dir),
+        "--caption-bank", str(bank_path), "--freq-stats", str(freq_path),
+        "--out", str(impreds), "--batch-size", "2",
+    ] + _common_opts(workspace) + ["TEST.multi_scale", "(2,)",
+                                   "TEST.use_freq", "True"])
+    preds = np.asarray(json.load(open(impreds)))
+    assert preds.shape == (3, 80) and np.isfinite(preds).all()

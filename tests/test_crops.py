@@ -132,3 +132,10 @@ def test_preprocess_train_shapes_and_determinism():
     assert a.shape == (48, 48, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_four_scale_census():
+    """run_eval_4scales.sh variant: scales (2,3,4,5) — census stable."""
+    boxes, counts = sliding_window_boxes(480, 640, (2, 3, 4, 5))
+    assert counts == [40, 100, 164, 266]
+    assert len(boxes) == 570
