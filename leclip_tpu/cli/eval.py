@@ -49,8 +49,11 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
     dataset = build_dataset(cfg)
     specs = load_ensemble_specs(cfg, clip_params, clip_cfg, dataset.classnames, model_dir)
 
+    # TEST.use_freq is the master switch; WHICH members get co-occurrence
+    # modulation is per-member (ModelSpec.use_freq from the run_eval.sh
+    # grouping: best/difft only — ref run_eval.sh:17-40)
     cooc = None
-    if freq_stats is not None:
+    if freq_stats is not None and cfg.TEST.use_freq:
         cooc = normalized_cooccurrence(
             np.asarray(freq_stats["adj"], np.float32),
             np.asarray(freq_stats["nums"], np.float32),
@@ -58,7 +61,7 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
         caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
-        cooccurrence=cooc, use_freq=cfg.TEST.use_freq,
+        cooccurrence=cooc, use_freq=False,
         topk=cfg.TEST.retrieval_topk,
         block_threshold=cfg.TEST.block_threshold,
         block_coef=cfg.TEST.block_fuse_coef,

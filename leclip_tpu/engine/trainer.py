@@ -213,8 +213,11 @@ class CaptionDistillTrainer:
         co_matrix = None
         resample_params = None
         lmpt_counts = None
-        if cfg.TRAIN.LOSSFUNC == "ranking_with_cooccurrence" or cfg.TEST.use_freq:
-            co_matrix = None  # provided per-call by pipelines that own freq stats
+        if cfg.TRAIN.LOSSFUNC == "ranking_with_cooccurrence":
+            # auto-load freq stats (the reference loads freq_stats.pkl itself,
+            # Caption_distill_double.py:842-850); falls back to building the
+            # co-occurrence from the training labels when the pkl is absent
+            co_matrix = jnp.asarray(self._load_cooccurrence(), jnp.float32)
         if cfg.TRAIN.LOSSFUNC == "dbl" or cfg.TRAIN.LMPT:
             from ..data.corpora import load_class_freq
 
@@ -235,6 +238,29 @@ class CaptionDistillTrainer:
             self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,
             **self._step_kwargs,
         )
+
+    def _load_cooccurrence(self) -> np.ndarray:
+        """Row-normalised P(j|i) for the ranking_with_cooccurrence loss.
+
+        Prefers a `freq_stats.pkl` next to the caption corpora (the artifact
+        the reference ships at project/my_code/freq_stats.pkl); otherwise
+        builds the counts from this dataset's own training labels."""
+        import os
+
+        from ..data.freq_stats import build_freq_stats, load_freq_stats
+
+        root = str(getattr(self.dataset, "caption_root", "") or ".")
+        path = os.path.join(root, "freq_stats.pkl")
+        if os.path.exists(path):
+            stats = load_freq_stats(path)
+        else:
+            stats = build_freq_stats(np.asarray(self.dataset.labels))
+        adj = np.asarray(stats["adj"], np.float64)
+        nums = np.maximum(np.asarray(stats["nums"], np.float64), 1.0)
+        # normalized_cooccurrence's math, with empty-class guards
+        p = adj / nums[:, None]
+        row = np.maximum(p.sum(-1, keepdims=True), 1e-12)
+        return (p / row).astype(np.float32)
 
     def set_cooccurrence(self, co_matrix: np.ndarray):
         """Install the freq_stats co-occurrence matrix for the

@@ -105,7 +105,8 @@ def load_ensemble_specs(
                     class_token_position=cfg.TRAINER.CLASS_TOKEN_POSITION,
                 )
             specs[name] = build_model_spec(
-                clip_params, clip_cfg, trainable, constants_cache[actual_nctx], flags
+                clip_params, clip_cfg, trainable, constants_cache[actual_nctx], flags,
+                use_freq=use_freq,
             )
     if not specs:
         raise FileNotFoundError(f"no ensemble checkpoints found under {model_dir!r}")

@@ -55,33 +55,42 @@ def pick_bucket(h: int, w: int, buckets=DEFAULT_BUCKETS) -> Tuple[int, int]:
     return buckets[-1]
 
 
-def pad_to_bucket(img: np.ndarray, bucket: Tuple[int, int]) -> np.ndarray:
+def pad_to_bucket(
+    img: np.ndarray, bucket: Tuple[int, int]
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Zero-pad `img` into `bucket`; returns (padded, content (h, w)).
+
+    Oversized images are aspect-preservingly downscaled on host first, so the
+    returned content dims are the POST-resize dims — crop boxes must be
+    computed from these, not from the original image shape (otherwise boxes
+    sample the zero padding and the global central crop is misplaced)."""
     bh, bw = bucket
     h, w = img.shape[:2]
     if h > bh or w > bw:
-        # downscale oversized images on host to the largest bucket (cheap,
-        # and the crop geometry is computed from the RESIZED dims so scoring
-        # stays self-consistent)
         from PIL import Image
 
         scale = min(bh / h, bw / w)
-        nh, nw = int(h * scale), int(w * scale)
+        nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
         img = np.asarray(
             Image.fromarray(img).resize((nw, nh), Image.BICUBIC), img.dtype
         )
         h, w = nh, nw
     out = np.zeros((bh, bw, 3), img.dtype)
     out[:h, :w] = img
-    return out
+    return out, (h, w)
 
 
 class ModelSpec(NamedTuple):
     """One ensemble member: its trainable prompt params (for the learned
-    scales), cached prompt text features, and its method flags."""
+    scales), cached prompt text features, its method flags, and whether its
+    local logits get co-occurrence modulation (per-pass in the reference's
+    run_eval.sh — True for best/difft, False elsewhere; None → inherit the
+    engine-wide setting)."""
 
     trainable: dict
     text_feats: Dict[str, jnp.ndarray]
     flags: DenseFlags
+    use_freq: Optional[bool] = None
 
 
 _SPEC_ENCODER_CACHE: Dict[tuple, object] = {}
@@ -113,6 +122,7 @@ def build_model_spec(
     trainable: dict,
     constants: dict,
     flags: DenseFlags,
+    use_freq: Optional[bool] = None,
 ) -> ModelSpec:
     """Pre-encode the three prompt sets once (the reference caches after the
     first test batch, :421-439)."""
@@ -121,7 +131,12 @@ def build_model_spec(
     encode = _spec_encoder(clip_cfg, flags, meta)
     feats = encode(clip_params, trainable, arrays)
     feats = {k: jax.device_get(v) for k, v in feats.items()}
-    return ModelSpec(jax.device_get(trainable), {k: jnp.asarray(v) for k, v in feats.items()}, flags)
+    return ModelSpec(
+        jax.device_get(trainable),
+        {k: jnp.asarray(v) for k, v in feats.items()},
+        flags,
+        use_freq,
+    )
 
 
 class TTAEngine:
@@ -178,14 +193,17 @@ class TTAEngine:
         # closures — closed-over arrays become HLO constants (hundreds of MB)
         # and wreck compile time, especially through a remote-compile tunnel.
         @jax.jit
-        def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray):
+        def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray,
+                       content_hw: jnp.ndarray):
             imgs = images_u8.astype(dtype) / 255.0
 
-            def one(img, bxs):
-                crops = crop_and_resize(img, bxs, out_size=size, method="cubic")
+            def one(img, bxs, chw):
+                crops = crop_and_resize(
+                    img, bxs, out_size=size, method="cubic", content_hw=chw
+                )
                 return clip_normalize(crops)
 
-            crops = jax.vmap(one)(imgs, boxes)  # [B, n, S, S, 3]
+            crops = jax.vmap(one)(imgs, boxes, content_hw)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags)
             # retrieval is model-independent → run it once here, shared by
@@ -200,18 +218,33 @@ class TTAEngine:
         self._feature_fn_cache[key] = feature_fn
         return feature_fn
 
+    def _member_use_freq(self, spec: ModelSpec) -> bool:
+        """Effective per-member co-occurrence modulation: the spec's own
+        setting (from its run_eval.sh group) wins; None inherits the
+        engine-wide flag. Always off without a co-occurrence matrix."""
+        if self.cooccurrence is None:
+            return False
+        return self.use_freq if spec.use_freq is None else bool(spec.use_freq)
+
     def _model_groups(self):
-        """Ensemble members grouped by flags, each group's trainables and
-        text features stacked along a model axis → ONE vmapped dispatch per
-        group instead of one per member (per-dispatch tunnel latency is
-        material on networked TPUs)."""
+        """Ensemble members grouped by (flags, ctx shape, use_freq), each
+        group's trainables and text features stacked along a model axis →
+        ONE vmapped dispatch per group instead of one per member
+        (per-dispatch tunnel latency is material on networked TPUs).
+
+        The ctx shape must be part of the key: members with different n_ctx
+        (ema is 64 vs 16 elsewhere) cannot be jnp.stack'd together."""
         if getattr(self, "_groups", None) is not None:
             return self._groups
-        by_flags: Dict[DenseFlags, List[str]] = {}
+        by_key: Dict[tuple, List[str]] = {}
         for name, spec in self.models.items():
-            by_flags.setdefault(spec.flags, []).append(name)
+            shapes = tuple(sorted(
+                (k, tuple(np.asarray(v).shape)) for k, v in spec.trainable.items()
+            ))
+            key = (spec.flags, shapes, self._member_use_freq(spec))
+            by_key.setdefault(key, []).append(name)
         groups = []
-        for flags, names in by_flags.items():
+        for (flags, _, use_freq), names in by_key.items():
             stacked_trainable = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                 *[self.models[n].trainable for n in names],
@@ -221,7 +254,7 @@ class TTAEngine:
                 k: jnp.stack([self.models[n].text_feats[k] for n in names])
                 for k in keys
             }
-            groups.append((names, flags, stacked_trainable, stacked_feats))
+            groups.append((names, flags, use_freq, stacked_trainable, stacked_feats))
         self._groups = groups
         return groups
 
@@ -250,22 +283,23 @@ class TTAEngine:
         # one program per batch: elementwise-max then snap to a bucket so the
         # shared buffer contains every image
         bucket = pick_bucket(max(b[0] for b in buckets), max(b[1] for b in buckets))
-        padded, boxes = [], []
+        padded, boxes, content = [], [], []
         for im in images:
-            p = pad_to_bucket(im, bucket)
-            h, w = min(im.shape[0], bucket[0]), min(im.shape[1], bucket[1])
+            p, (h, w) = pad_to_bucket(im, bucket)
             pyramid, _ = tta_sampling_boxes(h, w, self.scales)
             side = min(h, w)
             gy, gx = (h - side) / 2.0, (w - side) / 2.0
             global_box = np.asarray([[gy, gx, gy + side, gx + side]], np.float32)
             boxes.append(np.concatenate([global_box, pyramid], axis=0))
             padded.append(p)
-        return np.stack(padded), np.stack(boxes), bucket
+            content.append((h, w))
+        return (np.stack(padded), np.stack(boxes),
+                np.asarray(content, np.int32), bucket)
 
     def run_batch(self, images: Sequence[np.ndarray]) -> Dict[str, dict]:
         """Full TTA pass over a batch of decoded images → per-model raw
         score dict + shared retrieval sims."""
-        padded, boxes, bucket = self.prepare_batch(images)
+        padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         feature_fn = self._feature_fn(bucket, n, b)
         bank = self.caption_bank
@@ -273,13 +307,14 @@ class TTAEngine:
             # zero-size placeholder keeps the jit signature stable
             bank = jnp.zeros((1, 1), jnp.float32)
         feats, aug, scores = feature_fn(
-            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes)
+            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes),
+            jnp.asarray(content),
         )
 
         results: Dict[str, dict] = {}
         sims_saved = None
         per_model = {}
-        for names, flags, st_tr, st_tf in self._model_groups():
+        for names, flags, _, st_tr, st_tf in self._model_groups():
             out = self._score_group(flags, st_tr, st_tf, feats, aug, scores)
             g_all = np.asarray(out.logits_global, np.float32)
             l_all = np.asarray(out.logits_local, np.float32)
@@ -291,7 +326,7 @@ class TTAEngine:
             g = g_flat.reshape(b, n, -1)
             l = l_flat.reshape(b, n, -1)
             sims = sims_flat.reshape(b, n, -1)
-            if self.use_freq:
+            if self._member_use_freq(self.models[name]):
                 p = np.asarray(self.cooccurrence)
                 l = np.asarray(adjust_predictions(l, p))
             output, output_blocks = g[:, 0], g[:, 1:]
@@ -337,7 +372,6 @@ class TTAEngine:
         size = self.crop_size
         topk = self.topk
         has_bank = self.caption_bank is not None
-        use_freq = self.use_freq
         groups = self._model_groups()
         flags0 = groups[0][1]
         names_order = [n for names, *_ in groups for n in names]
@@ -346,15 +380,17 @@ class TTAEngine:
         b = batch
 
         @jax.jit
-        def fused_fn(clip_params, bank, images_u8, boxes, group_trs, group_tfs,
-                     routing_r, cooc):
+        def fused_fn(clip_params, bank, images_u8, boxes, content_hw,
+                     group_trs, group_tfs, routing_r, cooc):
             imgs = images_u8.astype(dtype) / 255.0
 
-            def one(img, bxs):
-                crops = crop_and_resize(img, bxs, out_size=size, method="cubic")
+            def one(img, bxs, chw):
+                crops = crop_and_resize(
+                    img, bxs, out_size=size, method="cubic", content_hw=chw
+                )
                 return clip_normalize(crops)
 
-            crops = jax.vmap(one)(imgs, boxes)
+            crops = jax.vmap(one)(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags0)
             if has_bank:
@@ -365,7 +401,7 @@ class TTAEngine:
             sims_blocks = scores.reshape(b, n_boxes, -1)[:, 1:]
 
             results = []
-            for gi, (names, flags, _, _) in enumerate(groups):
+            for gi, (names, flags, g_use_freq, _, _) in enumerate(groups):
                 tr, tf = group_trs[gi], group_tfs[gi]
 
                 def score_one(t, f, flags=flags):
@@ -377,7 +413,7 @@ class TTAEngine:
                 m = len(names)
                 g = out.logits_global.reshape(m, b, n_boxes, -1)
                 l = out.logits_local.reshape(m, b, n_boxes, -1)
-                if use_freq:
+                if g_use_freq:
                     l = adjust_predictions(l, cooc)
                 for mi, name in enumerate(names):
                     use6 = name == base
@@ -414,7 +450,7 @@ class TTAEngine:
         result WITHOUT synchronising. Read with np.asarray(...) later —
         dispatching the next batch first overlaps its host→device transfer
         with this batch's compute (double buffering)."""
-        padded, boxes, bucket = self.prepare_batch(images)
+        padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         fn = self._fused_fn(bucket, n, b)
         groups = self._model_groups()
@@ -427,7 +463,8 @@ class TTAEngine:
             cooc = jnp.zeros((n_cls, n_cls), jnp.float32)
         return fn(
             self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes),
-            tuple(g[2] for g in groups), tuple(g[3] for g in groups),
+            jnp.asarray(content),
+            tuple(g[3] for g in groups), tuple(g[4] for g in groups),
             self._fused_routing, cooc,
         )
 

@@ -48,7 +48,11 @@ def build_prompt_learner(
     if ctx_init:
         words = ctx_init.replace("_", " ")
         init_ids = tokenize(words)[0]
-        n_ctx = len(tok.encode(words))
+        # reference convention: n_ctx = word count, NOT BPE token count
+        # (Caption_distill_double.py:147-152) — the embedding slice takes the
+        # first n_ctx tokens even when a word spans several BPE tokens, and
+        # the suffix offset follows the same word-count layout
+        n_ctx = len(words.split(" "))
         ctx = jnp.asarray(token_embedding[init_ids[1 : 1 + n_ctx]], dtype)
         ctx_double = ctx
         ctx_evidence = ctx

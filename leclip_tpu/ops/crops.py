@@ -6,8 +6,10 @@ dassl/data/data_manager.py:311-492 ``DatasetWrapperWithBlock._transform_image``)
 
 per scale s: ① (2s)² square windows over a reflect-padded image,
 ② 1×2 / 2×1 aspect windows (overflow-clamped), ③ 2:3 / 3:2 windows,
-④ for s≥3, oversized 2×3 / 3×2 windows. Scales (2,3,4) → 116 crops/image
-(the census `gen_final_ans.py:8-9` depends on).
+④ for s≥3, oversized 2×3 / 3×2 windows. Scales (2,3,4) → 40+100+164 = 304
+crops/image (+1 global). NOTE: the reference's comment `gen_final_ans.py:8-9`
+says "116", which counts only the ① square windows — the reference CODE
+produces 304, and that is what we reproduce (PARITY.md deviation 1).
 
 TPU-first split: box *geometry* is tiny host-side integer math (numpy, per
 image size — cached); the heavy work, cropping + bicubic resize to 224² for
@@ -107,14 +109,21 @@ def tta_sampling_boxes(
 # --------------------------- device sampler ---------------------------------
 
 
-def _reflect_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Reflect out-of-range indices (PyTorch 'reflect' pad semantics:
-    edge not repeated)."""
-    if size == 1:
-        return jnp.zeros_like(idx)
-    period = 2 * (size - 1)
-    idx = jnp.abs(idx) % period
-    return jnp.where(idx >= size, period - idx, idx)
+def _reflect_index(idx: jnp.ndarray, size) -> jnp.ndarray:
+    """Reflect out-of-range indices (np.pad 'reflect' semantics: edge not
+    repeated). `size` may be a traced scalar (per-image content extent of a
+    bucket-padded image) or a static int."""
+    if isinstance(size, (int, np.integer)):
+        if size == 1:
+            return jnp.zeros_like(idx)
+        period = 2 * (size - 1)
+        idx = jnp.abs(idx) % period
+        return jnp.where(idx >= size, period - idx, idx)
+    size = jnp.asarray(size, idx.dtype)
+    period = jnp.maximum(2 * (size - 1), 1)
+    wrapped = jnp.abs(idx) % period
+    out = jnp.where(wrapped >= size, period - wrapped, wrapped)
+    return jnp.where(size <= 1, jnp.zeros_like(idx), out)
 
 
 def _cubic_weights(t: jnp.ndarray, a: float = -0.5):
@@ -147,9 +156,12 @@ def _gather_axis(img: jnp.ndarray, coords: jnp.ndarray, axis_size: int, method: 
     return out
 
 
-def _sample_one(img: jnp.ndarray, box: jnp.ndarray, out_size: int, method: str):
+def _sample_one(img: jnp.ndarray, box: jnp.ndarray, out_size: int, method: str,
+                content_hw=None):
     """Sample one box from [H, W, C] → [out, out, C] (half-pixel centers)."""
     h, w = img.shape[0], img.shape[1]
+    if content_hw is not None:
+        h, w = content_hw[0], content_hw[1]
     y0, x0, y1, x1 = box[0], box[1], box[2], box[3]
     o = jnp.arange(out_size, dtype=img.dtype)
     ys = y0 + (o + 0.5) * (y1 - y0) / out_size - 0.5
@@ -165,19 +177,25 @@ def crop_and_resize(
     out_size: int = 224,
     method: str = "cubic",
     chunk: int = 16,
+    content_hw=None,           # optional (h, w) traced scalars: true content
+                               # extent of a bucket-padded image
 ) -> jnp.ndarray:
     """Batched crop+resize with static output shape [N, out, out, C].
 
-    Out-of-bounds coordinates reflect (covers the reference's reflect-padded
-    square windows). Chunked via lax.map to bound the gather intermediate;
-    within a chunk, crops vectorise."""
+    Out-of-bounds coordinates reflect at the CONTENT boundary (the reference
+    reflect-pads the raw image before sliding windows, data_manager.py:383-398
+    — a window overflowing the image must see mirrored content, not the
+    bucket's zero padding). Chunked via lax.map to bound the gather
+    intermediate; within a chunk, crops vectorise."""
     n = boxes.shape[0]
     pad = (-n) % chunk
     if pad:
         boxes = jnp.concatenate([boxes, jnp.tile(boxes[-1:], (pad, 1))], axis=0)
     grouped = boxes.reshape(-1, chunk, 4)
 
-    sample = functools.partial(_sample_one, image, out_size=out_size, method=method)
+    sample = functools.partial(
+        _sample_one, image, out_size=out_size, method=method, content_hw=content_hw
+    )
     out = jax.lax.map(lambda bs: jax.vmap(sample)(bs), grouped)
     out = out.reshape(-1, out_size, out_size, image.shape[-1])
     return out[:n] if pad else out

@@ -128,6 +128,21 @@ def test_trainer_validate_smoke(workspace, tmp_path):
     assert res.get("mAP") == 0.0  # unlabeled split → forced 0 (parity)
 
 
+def test_train_cli_ranking_with_cooccurrence(workspace, tmp_path):
+    """TRAIN.LOSSFUNC ranking_with_cooccurrence trains via the CLI: the
+    trainer auto-loads/builds the co-occurrence stats instead of crashing on
+    the never-called set_cooccurrence (VERDICT r1 weak 2 / ADVICE r1 low)."""
+    from leclip_tpu.cli.train import main as train_main
+
+    out = tmp_path / "run_cooc"
+    train_main([
+        "--output-dir", str(out),
+        "--backbone", "RN-TEST",
+        "--seed", "0",
+    ] + _common_opts(workspace) + ["TRAIN.LOSSFUNC", "ranking_with_cooccurrence"])
+    assert (out / "prompt_learner" / "model.ckpt-0").exists()
+
+
 def test_eval_cli_with_freq_stats_and_bank(workspace, tmp_path):
     """eval CLI consumes --freq-stats (co-occurrence modulation) and
     --caption-bank files."""

@@ -134,6 +134,29 @@ def test_preprocess_train_shapes_and_determinism():
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
 
 
+def test_content_boundary_reflection():
+    """A box overflowing the content of a bucket-padded image must sample
+    REFLECTED content (np.pad 'reflect', the reference's window padding), not
+    the bucket's zero padding."""
+    rng = np.random.default_rng(6)
+    content = rng.random((20, 20, 3)).astype(np.float32)
+    padded = np.zeros((32, 32, 3), np.float32)
+    padded[:20, :20] = content
+    # box extends 8 px past the content's bottom/right edge
+    box = jnp.asarray([[4.0, 4.0, 28.0, 28.0]])
+    got = crop_and_resize(
+        jnp.asarray(padded), box, out_size=24, method="bilinear",
+        content_hw=jnp.asarray([20, 20], jnp.int32),
+    )
+    # reference result: same box sampled from an explicitly reflect-padded image
+    reflected = np.pad(content, ((0, 12), (0, 12), (0, 0)), mode="reflect")
+    want = crop_and_resize(jnp.asarray(reflected), box, out_size=24, method="bilinear")
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want)[0], atol=1e-5)
+    # without content_hw the overflow reads zeros → must differ
+    plain = crop_and_resize(jnp.asarray(padded), box, out_size=24, method="bilinear")
+    assert np.abs(np.asarray(plain)[0] - np.asarray(want)[0]).max() > 1e-3
+
+
 def test_four_scale_census():
     """run_eval_4scales.sh variant: scales (2,3,4,5) — census stable."""
     boxes, counts = sliding_window_boxes(480, 640, (2, 3, 4, 5))

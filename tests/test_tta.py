@@ -43,13 +43,17 @@ def test_pick_and_pad_bucket():
     assert pick_bucket(300, 400) == (384, 512)
     assert pick_bucket(2000, 2000) == DEFAULT_BUCKETS[-1]
     img = np.full((300, 400, 3), 7, np.uint8)
-    p = pad_to_bucket(img, (384, 512))
+    p, (h, w) = pad_to_bucket(img, (384, 512))
     assert p.shape == (384, 512, 3)
+    assert (h, w) == (300, 400)
     assert (p[:300, :400] == 7).all() and (p[300:, :] == 0).all()
-    # oversized → host downscale into the bucket
-    big = np.zeros((3000, 1500, 3), np.uint8)
-    p = pad_to_bucket(big, DEFAULT_BUCKETS[-1])
+    # oversized → host downscale into the bucket; content dims are the
+    # POST-resize dims (ADVICE: boxes must not sample the zero padding)
+    big = np.full((3000, 1500, 3), 9, np.uint8)
+    p, (h, w) = pad_to_bucket(big, DEFAULT_BUCKETS[-1])
     assert p.shape == (1280, 1280, 3)
+    assert (h, w) == (1280, 640)
+    assert (p[:h, :w] == 9).all() and (p[:, w:] == 0).all()
 
 
 def test_engine_run_batch(setup):
@@ -95,6 +99,71 @@ def test_engine_use_freq(setup, rng):
     images = [np.zeros((64, 64, 3), np.uint8)]
     results = engine.run_batch(images)
     assert np.isfinite(results["best"]["output_pos"]).all()
+
+
+def test_engine_heterogeneous_nctx(setup):
+    """Members with different n_ctx (the reference's ema checkpoint is
+    n_ctx=64 vs 16 elsewhere) must land in separate vmapped groups instead of
+    crashing the jnp.stack (ADVICE r1 high)."""
+    clip_params, specs = setup
+    trainable, constants = build_prompt_learner(
+        jax.random.PRNGKey(9), clip_params, CLASSNAMES, n_ctx=8
+    )
+    specs = dict(specs)
+    specs["ema64"] = build_model_spec(
+        clip_params, TINY, trainable, constants, specs["ema"].flags
+    )
+    engine = TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+    images = [np.full((64, 64, 3), 40, np.uint8)]
+    results = engine.run_batch(images)
+    results.pop("_sims")
+    assert set(results) == {"best", "ema", "ema64"}
+    assert len(engine._model_groups()) == 3  # evidence / n_ctx=4 / n_ctx=8
+    fused = engine.run_batch_fused(images)
+    assert np.isfinite(fused).all()
+
+
+def test_per_member_use_freq(setup, rng):
+    """Co-occurrence modulation applies only to members whose spec requests
+    it (best/difft in run_eval.sh), not engine-wide (ADVICE r1 medium)."""
+    from leclip_tpu.ops.ensemble import normalized_cooccurrence
+
+    clip_params, specs = setup
+    adj = rng.random((4, 4)).astype(np.float32) + 0.1
+    nums = rng.random(4).astype(np.float32) + 1.0
+    cooc = normalized_cooccurrence(adj, nums)
+    mixed = {
+        "best": specs["best"]._replace(use_freq=True),
+        "ema": specs["ema"]._replace(use_freq=False),
+    }
+    engine = TTAEngine(clip_params, TINY, mixed, scales=(2,), crop_size=64,
+                       cooccurrence=cooc, use_freq=False)
+    plain = TTAEngine(clip_params, TINY, dict(specs), scales=(2,), crop_size=64)
+    images = [np.full((64, 64, 3), 50, np.uint8)]
+    r_mod = engine.run_batch(images)
+    r_plain = plain.run_batch(images)
+    assert np.abs(
+        r_mod["best"]["output_pos"] - r_plain["best"]["output_pos"]
+    ).max() > 1e-7
+    np.testing.assert_allclose(
+        r_mod["ema"]["output_pos"], r_plain["ema"]["output_pos"], rtol=1e-5
+    )
+
+
+def test_prepare_batch_oversized_content_dims(setup):
+    """Images exceeding the largest bucket are downscaled; crop boxes must be
+    computed from the POST-resize content dims (ADVICE r1 medium)."""
+    clip_params, specs = setup
+    engine = TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+    im = np.full((1500, 800, 3), 20, np.uint8)
+    padded, boxes, content, bucket = engine.prepare_batch([im])
+    assert bucket == (1280, 1280)
+    h, w = content[0]
+    assert (h, w) == (1280, 682)  # 1500x800 aspect-preserved into 1280
+    # the global central-square box must sit inside the resized content
+    gy0, gx0, gy1, gx1 = boxes[0, 0]
+    assert gx1 <= w + 1e-3 and gy1 <= h + 1e-3 and gx0 >= -1e-3 and gy0 >= -1e-3
+    assert (gy1 - gy0) == pytest.approx(min(h, w))
 
 
 def test_fused_path_matches_host_fusion(setup):
