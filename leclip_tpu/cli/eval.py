@@ -58,6 +58,18 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
             np.asarray(freq_stats["adj"], np.float32),
             np.asarray(freq_stats["nums"], np.float32),
         )
+    import jax
+
+    from ..parallel.mesh import data_mesh
+
+    # multi-chip slice → batch-shard the TTA engine over a 1-D data mesh
+    # (skipped on the virtual CPU mesh used by tests — engine-level mesh
+    # behavior is covered by tests/test_tta.py::test_engine_mesh_sharded_*)
+    mesh = (
+        data_mesh()
+        if jax.device_count() > 1 and jax.default_backend() != "cpu"
+        else None
+    )
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
         caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
@@ -66,6 +78,7 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
         block_threshold=cfg.TEST.block_threshold,
         block_coef=cfg.TEST.block_fuse_coef,
         crop_size=clip_cfg.image_resolution,
+        mesh=mesh,
     )
     images = dataset.test_images
     if not images:

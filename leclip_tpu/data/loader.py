@@ -82,17 +82,50 @@ def load_image(path: str) -> np.ndarray:
     raise OSError(f"unreadable image {path}")
 
 
+def image_size(path: str) -> Tuple[int, int]:
+    """(h, w) from the image header only — no pixel decode."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    return h, w
+
+
 class ImageBatcher:
     """JPEG decode → fixed-size batches of raw uint8 images plus their paths
     (the TTA engine computes crop boxes from the decoded sizes).
 
     Uses the native multithreaded libjpeg runtime when available
     (leclip_tpu/runtime/decode.cpp — PIL-exact output), falling back to a
-    PIL thread pool."""
+    PIL thread pool.
+
+    ``sort_by_bucket``: pre-read image headers and order batches by the shape
+    bucket ``bucket_fn(h, w)`` maps them to. One oversized image then no
+    longer drags its whole batch to the largest bucket's (4×+ slower, freshly
+    compiled) program, and the compile-variant count is bounded by the number
+    of occupied buckets. The original input order is recorded in ``order``
+    (``paths[i] == original[order[i]]``) so callers can restore it with
+    ``inverse_order``."""
 
     def __init__(self, paths: Sequence[str], batch_size: int, workers: int = 8,
-                 native: bool = True):
-        self.paths = list(paths)
+                 native: bool = True, sort_by_bucket: bool = False,
+                 bucket_fn=None):
+        paths = list(paths)
+        self.order = np.arange(len(paths))
+        if sort_by_bucket and paths:
+            if bucket_fn is None:
+                from ..inference.tta import pick_bucket as bucket_fn
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                sizes = list(pool.map(image_size, paths))
+            keys = []
+            for h, w in sizes:
+                bh, bw = bucket_fn(h, w)
+                keys.append((bh * bw, bh, bw))
+            self.order = np.asarray(
+                sorted(range(len(paths)), key=lambda i: keys[i]), np.int64
+            )
+            paths = [paths[i] for i in self.order]
+        self.paths = paths
         self.batch_size = batch_size
         self.workers = workers
         self._native = False
@@ -105,6 +138,14 @@ class ImageBatcher:
                     self._native = True
             except Exception:
                 pass
+
+    @property
+    def inverse_order(self) -> np.ndarray:
+        """Permutation restoring original input order: out[inverse_order] has
+        row i corresponding to the i-th input path."""
+        inv = np.empty_like(self.order)
+        inv[self.order] = np.arange(len(self.order))
+        return inv
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size

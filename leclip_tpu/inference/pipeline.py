@@ -123,11 +123,18 @@ def run_full_inference(
     progress: bool = True,
 ) -> np.ndarray:
     """TTA-score every image with every ensemble member, save the per-model
-    dumps (+ shared sim matrix) and emit impreds.json. Returns fused scores.
+    dumps (+ shared sim matrix) and emit impreds.json. Returns fused scores
+    in the original ``image_paths`` order.
+
+    Batches are bucket-sorted (images grouped by shape bucket) so one large
+    image doesn't drag a whole batch to the biggest bucket's program and the
+    compile-variant count stays bounded by the occupied buckets; outputs are
+    restored to input order before returning/saving.
 
     When ``save_dir`` is None the single-dispatch on-device fused path is
     used (scores identical; ~an order of magnitude fewer host round trips)."""
-    batcher = ImageBatcher(image_paths, batch_size)
+    batcher = ImageBatcher(image_paths, batch_size, sort_by_bucket=True)
+    inv = batcher.inverse_order
     if save_dir is None:
         fused_parts = []
         batches = (images for images, _ in batcher)
@@ -135,7 +142,7 @@ def run_full_inference(
             fused_parts.append(part)
             if progress:
                 print(f"TTA batch {bi + 1}/{len(batcher)} (fused, pipelined)")
-        fused = np.concatenate(fused_parts)
+        fused = np.concatenate(fused_parts)[inv]
         if out_json:
             import json
 
@@ -158,14 +165,14 @@ def run_full_inference(
             print(f"TTA batch {bi + 1}/{len(batcher)} ({len(images)} images)")
 
     data = {
-        name: {k: np.concatenate(v) for k, v in outs.items()}
+        name: {k: np.concatenate(v)[inv] for k, v in outs.items()}
         for name, outs in acc.items()
     }
-    sims_blocks = np.concatenate(sims_blocks_all)
+    sims_blocks = np.concatenate(sims_blocks_all)[inv]
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "sim_matrix.pkl"), "wb") as f:
-            pickle.dump({"sims_all": np.concatenate(sims_all),
+            pickle.dump({"sims_all": np.concatenate(sims_all)[inv],
                          "sims_blocks_all": sims_blocks}, f)
         with open(os.path.join(save_dir, "data.pkl"), "wb") as f:
             pickle.dump(data, f)

@@ -41,6 +41,7 @@ from ..models.dense_clip import (
 from ..ops.crops import crop_and_resize, tta_sampling_boxes
 from ..ops.ensemble import adjust_predictions, aggregate_blocks
 from ..ops.preprocess import clip_normalize
+from ..ops.resize_matmul import crop_and_resize_matmul
 
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
     (256, 256), (384, 512), (512, 384), (512, 512), (512, 768), (768, 512),
@@ -91,6 +92,27 @@ class ModelSpec(NamedTuple):
     text_feats: Dict[str, jnp.ndarray]
     flags: DenseFlags
     use_freq: Optional[bool] = None
+
+
+def _make_crop_fn(impl: str, antialias: bool, size: int):
+    """Per-image crop extractor: (img [H,W,C], boxes [n,4], content (h,w)) →
+    normalised crops. 'matmul' runs on the MXU with optional PIL-parity
+    antialiasing; 'gather' is the original 4-tap Catmull-Rom sampler."""
+    if impl == "matmul":
+        def fn(img, bxs, chw):
+            crops = crop_and_resize_matmul(
+                img, bxs, out_size=size, antialias=antialias, content_hw=chw
+            )
+            return clip_normalize(crops)
+    elif impl == "gather":
+        def fn(img, bxs, chw):
+            crops = crop_and_resize(
+                img, bxs, out_size=size, method="cubic", content_hw=chw
+            )
+            return clip_normalize(crops)
+    else:
+        raise ValueError(f"unknown resize_impl {impl!r}")
+    return fn
 
 
 _SPEC_ENCODER_CACHE: Dict[tuple, object] = {}
@@ -154,6 +176,10 @@ class TTAEngine:
         block_coef: float = 1.4,
         compute_dtype=jnp.float32,
         crop_size: int = 224,
+        resize_impl: str = "matmul",   # 'matmul' (MXU, antialias-capable) | 'gather'
+        antialias: bool = True,        # PIL-bicubic parity on downscale
+        mesh=None,                     # jax.sharding.Mesh with a 'data' axis:
+                                       # batch sharded, params/bank replicated
     ):
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
@@ -169,6 +195,22 @@ class TTAEngine:
         self.block_coef = block_coef
         self.compute_dtype = compute_dtype
         self.crop_size = crop_size
+        self.resize_impl = resize_impl
+        self.antialias = antialias
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate the big read-only operands once; batches get sharded
+            # per dispatch along the mesh's 'data' axis. The whole TTA program
+            # is batch-parallel (per-image fusion/routing), so XLA propagates
+            # the batch sharding end-to-end without collectives — the DP
+            # contract of the reference (ref train_caption.py:176-179).
+            from ..parallel.mesh import replicate
+
+            self.clip_params = replicate(self.clip_params, mesh)
+            if self.caption_bank is not None:
+                self.caption_bank = replicate(self.caption_bank, mesh)
+            if self.cooccurrence is not None:
+                self.cooccurrence = replicate(self.cooccurrence, mesh)
         # crop census is size-independent; probe it once
         _, counts = tta_sampling_boxes(480, 640, self.scales)
         self.n_blocks = sum(counts)
@@ -192,17 +234,12 @@ class TTAEngine:
         # NOTE: clip params and the caption bank are jit ARGUMENTS, not
         # closures — closed-over arrays become HLO constants (hundreds of MB)
         # and wreck compile time, especially through a remote-compile tunnel.
+        one = _make_crop_fn(self.resize_impl, self.antialias, size)
+
         @jax.jit
         def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray,
                        content_hw: jnp.ndarray):
             imgs = images_u8.astype(dtype) / 255.0
-
-            def one(img, bxs, chw):
-                crops = crop_and_resize(
-                    img, bxs, out_size=size, method="cubic", content_hw=chw
-                )
-                return clip_normalize(crops)
-
             crops = jax.vmap(one)(imgs, boxes, content_hw)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags)
@@ -254,9 +291,44 @@ class TTAEngine:
                 k: jnp.stack([self.models[n].text_feats[k] for n in names])
                 for k in keys
             }
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                stacked_trainable = replicate(stacked_trainable, self.mesh)
+                stacked_feats = replicate(stacked_feats, self.mesh)
             groups.append((names, flags, use_freq, stacked_trainable, stacked_feats))
         self._groups = groups
         return groups
+
+    # --------------------------- mesh helpers -------------------------------
+
+    def _mesh_size(self) -> int:
+        return 1 if self.mesh is None else int(np.prod(list(self.mesh.shape.values())))
+
+    def _mesh_pad(self, images: Sequence[np.ndarray]):
+        """Pad the image list (by repeating the last image) so the batch
+        divides the mesh; returns (padded_list, original_count)."""
+        images = list(images)
+        b = len(images)
+        pad = (-b) % self._mesh_size()
+        return images + [images[-1]] * pad, b
+
+    def _put_batch(self, *arrays):
+        """Host arrays → device: batch-sharded over the mesh's first axis, or
+        plain asarray single-device."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
+    def _replicated(self, x):
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import replicate
+
+        return replicate(x, self.mesh)
 
     def _score_group(self, flags, stacked_trainable, stacked_feats, feats, aug, scores):
         if self._score_fn is None:
@@ -299,17 +371,16 @@ class TTAEngine:
     def run_batch(self, images: Sequence[np.ndarray]) -> Dict[str, dict]:
         """Full TTA pass over a batch of decoded images → per-model raw
         score dict + shared retrieval sims."""
+        images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         feature_fn = self._feature_fn(bucket, n, b)
         bank = self.caption_bank
         if bank is None:
             # zero-size placeholder keeps the jit signature stable
-            bank = jnp.zeros((1, 1), jnp.float32)
-        feats, aug, scores = feature_fn(
-            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes),
-            jnp.asarray(content),
-        )
+            bank = self._replicated(jnp.zeros((1, 1), jnp.float32))
+        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        feats, aug, scores = feature_fn(self.clip_params, bank, im_d, bx_d, ct_d)
 
         results: Dict[str, dict] = {}
         sims_saved = None
@@ -323,9 +394,9 @@ class TTAEngine:
                 per_model[name] = (g_all[mi], l_all[mi], s_all[mi])
         for name in self.models:
             g_flat, l_flat, sims_flat = per_model[name]
-            g = g_flat.reshape(b, n, -1)
-            l = l_flat.reshape(b, n, -1)
-            sims = sims_flat.reshape(b, n, -1)
+            g = g_flat.reshape(b, n, -1)[:b0]
+            l = l_flat.reshape(b, n, -1)[:b0]
+            sims = sims_flat.reshape(b, n, -1)[:b0]
             if self._member_use_freq(self.models[name]):
                 p = np.asarray(self.cooccurrence)
                 l = np.asarray(adjust_predictions(l, p))
@@ -379,17 +450,12 @@ class TTAEngine:
         coef = 1.5
         b = batch
 
+        one = _make_crop_fn(self.resize_impl, self.antialias, size)
+
         @jax.jit
         def fused_fn(clip_params, bank, images_u8, boxes, content_hw,
                      group_trs, group_tfs, routing_r, cooc):
             imgs = images_u8.astype(dtype) / 255.0
-
-            def one(img, bxs, chw):
-                crops = crop_and_resize(
-                    img, bxs, out_size=size, method="cubic", content_hw=chw
-                )
-                return clip_normalize(crops)
-
             crops = jax.vmap(one)(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags0)
@@ -432,11 +498,11 @@ class TTAEngine:
         from ..ops.ensemble import DEFAULT_ROUTING, routing_vector
 
         n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
-        self._fused_routing = jnp.asarray(
+        self._fused_routing = self._replicated(jnp.asarray(
             routing_vector([n for n, _ in
                             [(nm, None) for names, *_ in groups for nm in names]],
                            DEFAULT_ROUTING, base=base, n_cls=n_cls)
-        )
+        ))
         self._feature_fn_cache[key] = fused_fn
         return fused_fn
 
@@ -450,23 +516,25 @@ class TTAEngine:
         result WITHOUT synchronising. Read with np.asarray(...) later —
         dispatching the next batch first overlaps its host→device transfer
         with this batch's compute (double buffering)."""
+        images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         fn = self._fused_fn(bucket, n, b)
         groups = self._model_groups()
         bank = self.caption_bank
         if bank is None:
-            bank = jnp.zeros((1, 1), jnp.float32)
+            bank = self._replicated(jnp.zeros((1, 1), jnp.float32))
         cooc = self.cooccurrence
         if cooc is None:
             n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
-            cooc = jnp.zeros((n_cls, n_cls), jnp.float32)
-        return fn(
-            self.clip_params, bank, jnp.asarray(padded), jnp.asarray(boxes),
-            jnp.asarray(content),
+            cooc = self._replicated(jnp.zeros((n_cls, n_cls), jnp.float32))
+        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        out = fn(
+            self.clip_params, bank, im_d, bx_d, ct_d,
             tuple(g[3] for g in groups), tuple(g[4] for g in groups),
             self._fused_routing, cooc,
         )
+        return out if b0 == b else out[:b0]
 
     def run_batches_fused(self, batches, depth: int = 2):
         """Pipelined fused scoring over an iterable of image lists; yields

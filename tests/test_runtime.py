@@ -55,6 +55,42 @@ def test_image_batcher_native(jpegs):
     np.testing.assert_array_equal(imgs[0], pil_imgs[0])
 
 
+def test_image_batcher_bucket_sorted(tmp_path):
+    """sort_by_bucket groups batches by shape bucket (one huge image no
+    longer drags a batch to the 1280² program) and inverse_order restores
+    the original input order."""
+    rng = np.random.default_rng(1)
+    sizes = [(100, 100), (1400, 900), (120, 90), (80, 200), (1300, 1300),
+             (130, 110)]
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        p = str(tmp_path / f"s{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(p)
+        paths.append(p)
+    batcher = ImageBatcher(paths, batch_size=2, sort_by_bucket=True)
+    # small images first, the two 1280²-bucket giants together at the end
+    assert [batcher.paths[i] for i in np.argsort(batcher.order)] == paths
+    big = {paths[1], paths[4]}
+    assert set(batcher.paths[-2:]) == big
+    # per-batch max bucket: only the last batch needs the largest program
+    from leclip_tpu.inference.tta import pick_bucket
+
+    batch_buckets = []
+    for imgs, _ in batcher:
+        batch_buckets.append(max(pick_bucket(*im.shape[:2]) for im in imgs))
+    assert batch_buckets[-1] == (1280, 1280)
+    assert all(b != (1280, 1280) for b in batch_buckets[:-1])
+    # inverse_order restores input order on per-image outputs
+    outs = np.concatenate([
+        np.asarray([im.shape[0] * 10000 + im.shape[1] for im in imgs])
+        for imgs, _ in batcher
+    ])
+    restored = outs[batcher.inverse_order]
+    np.testing.assert_array_equal(
+        restored, [h * 10000 + w for h, w in sizes]
+    )
+
+
 def test_freq_stats_builder(tmp_path):
     labels = np.array([
         [1, 1, 0],

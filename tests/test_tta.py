@@ -166,6 +166,39 @@ def test_prepare_batch_oversized_content_dims(setup):
     assert (gy1 - gy0) == pytest.approx(min(h, w))
 
 
+def test_engine_mesh_sharded_matches_single_device(setup):
+    """TTA over an 8-device mesh (batch sharded, params/bank replicated)
+    produces the same scores as single-device, including a batch that does
+    not divide the mesh (padded + trimmed). VERDICT r1 next-round item 2."""
+    from leclip_tpu.parallel.mesh import data_mesh
+
+    clip_params, specs = setup
+    rng = np.random.default_rng(11)
+    bank = jnp.asarray(rng.normal(size=(40, 32)).astype(np.float32))
+    images = [rng.integers(0, 255, (70 + 6 * i, 90, 3)).astype(np.uint8)
+              for i in range(3)]  # 3 images on 8 devices → padded to 8
+
+    single = TTAEngine(clip_params, TINY, dict(specs), scales=(2,),
+                       crop_size=64, caption_bank=bank, topk=5)
+    mesh = data_mesh()
+    sharded = TTAEngine(clip_params, TINY, dict(specs), scales=(2,),
+                        crop_size=64, caption_bank=bank, topk=5, mesh=mesh)
+
+    f_single = single.run_batch_fused(images)
+    f_shard = sharded.run_batch_fused(images)
+    assert f_shard.shape == f_single.shape == (3, 4)
+    np.testing.assert_allclose(f_shard, f_single, rtol=2e-4, atol=2e-4)
+
+    r_single = single.run_batch(images)
+    r_shard = sharded.run_batch(images)
+    r_single.pop("_sims"); r_shard.pop("_sims")
+    for name in r_single:
+        np.testing.assert_allclose(
+            r_shard[name]["output_final"], r_single[name]["output_final"],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
 def test_fused_path_matches_host_fusion(setup):
     """run_batch_fused (single-dispatch on-device fusion) must match the
     run_batch → generate_final_answers host pipeline."""
