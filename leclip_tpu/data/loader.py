@@ -82,6 +82,82 @@ def load_image(path: str) -> np.ndarray:
     raise OSError(f"unreadable image {path}")
 
 
+class PairBatcher:
+    """(image, caption) pair loader for dual-encoder fine-tuning (BASELINE
+    config 4) — the reference equivalent is DatasetWrapper + DataManager
+    (ref dassl/data/data_manager.py:215-285), rebuilt TPU-first: the host
+    decodes JPEGs (native libjpeg runtime via ImageBatcher machinery) and
+    bucket-pads them; augmentation (content-aware RandomResizedCrop / cutout
+    / flip / CLIP-normalize) runs on device inside the train step
+    (ops.preprocess.preprocess_train_batch).
+
+    Yields {'image_u8': [B, bh, bw, 3] uint8, 'content': [B, 2] int32,
+    'tokens': [B, 77] int32} with deterministic per-epoch shuffling and
+    wrap-around padding so every step has a static shape per bucket."""
+
+    def __init__(
+        self,
+        image_paths: Sequence[str],
+        captions: Sequence[str] = None,
+        tokens: np.ndarray = None,
+        batch_size: int = 64,
+        seed: int = 0,
+        workers: int = 8,
+        bucket: Tuple[int, int] = (512, 512),
+    ):
+        assert (captions is None) != (tokens is None), "pass captions OR tokens"
+        self.paths = list(image_paths)
+        if tokens is None:
+            from .tokenizer import tokenize
+
+            tokens = np.asarray(tokenize(list(captions), truncate=True))
+        assert len(tokens) == len(self.paths)
+        self.tokens = np.asarray(tokens, np.int32)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.workers = workers
+        self.bucket = bucket
+        self._decode = None
+        try:
+            from ..runtime.jpeg import decode_batch, native_available
+
+            if native_available():
+                self._decode = decode_batch
+        except Exception:
+            pass
+
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self.paths) // self.batch_size)
+
+    def _decode_chunk(self, paths: List[str]) -> List[np.ndarray]:
+        if self._decode is not None:
+            return self._decode(paths, threads=self.workers)
+        with concurrent.futures.ThreadPoolExecutor(self.workers) as pool:
+            return list(pool.map(load_image, paths))
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        from ..inference.tta import pad_to_bucket
+
+        n = len(self.paths)
+        order = np.random.default_rng(self.seed + epoch).permutation(n)
+        bs = self.batch_size
+        for s in range(self.steps_per_epoch()):
+            idx = order[s * bs : (s + 1) * bs]
+            if len(idx) < bs:  # wrap so shapes stay static
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            imgs = self._decode_chunk([self.paths[i] for i in idx])
+            padded, content = [], []
+            for im in imgs:
+                p, hw = pad_to_bucket(im, self.bucket)
+                padded.append(p)
+                content.append(hw)
+            yield {
+                "image_u8": np.stack(padded),
+                "content": np.asarray(content, np.int32),
+                "tokens": self.tokens[idx],
+            }
+
+
 def image_size(path: str) -> Tuple[int, int]:
     """(h, w) from the image header only — no pixel decode."""
     from PIL import Image

@@ -7,14 +7,24 @@ learnable logit_scale (clamped at 100 like CLIP), AdamW, optional
 rematerialisation for memory, batch sharded over the data mesh with params
 replicated — XLA inserts the gradient all-reduce.
 
+A full pipeline, not just a step function: ``fit_pairs`` consumes a
+``data.loader.PairBatcher`` (native JPEG decode on host, content-aware
+augmentation fused into the train step on device), writes JSONL metrics,
+checkpoints per epoch in the same ``{dir}/{name}/model.ckpt-{e}`` layout as
+the prompt trainer, and resumes (params + optimizer + step). Reference
+equivalents: DatasetWrapper/DataManager (dassl/data/data_manager.py:215-285)
+and torchtools resume (dassl/utils/torchtools.py:126-165).
+
 Supports multi-backbone ensembles by running one FineTuner per backbone
 (e.g. ViT-B/16 + RN101) over the same pair stream.
 """
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -129,7 +139,86 @@ class CLIPFineTuner:
 
         return step
 
-    def fit(self, batches, log_every: int = 10):
+    def _build_raw_step(self):
+        """Train step over RAW bucket-padded uint8 batches: the content-aware
+        augmentation runs inside the same XLA program as the encoders."""
+        if getattr(self, "_raw_step", None) is not None:
+            return self._raw_step
+        from ..ops.preprocess import preprocess_train_batch
+
+        optimizer = self.optimizer
+        clip_cfg = self.clip_cfg
+        impl, remat = self._impl, self._remat
+        size = clip_cfg.image_resolution
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state: FinetuneState, seed, images_u8, content, tokens):
+            # PRNG key derived on device from a host int (avoids a per-step
+            # host-side key-split dispatch over the tunnel)
+            key = jax.random.PRNGKey(seed)
+            images = preprocess_train_batch(key, images_u8, content, size=size)
+            def loss_fn(p):
+                loss, logits = clip_contrastive_loss(
+                    p, clip_cfg, images, tokens, impl=impl, remat=remat
+                )
+                acc = (logits.argmax(-1) == jnp.arange(logits.shape[0])).mean()
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return FinetuneState(state.step + 1, params, opt_state), {
+                "loss": loss, "acc": acc,
+            }
+
+        self._raw_step = step
+        return step
+
+    # --------------------------- persistence --------------------------------
+
+    def save(self, directory: str, name: str = "clip_finetune",
+             epoch: int = 0) -> str:
+        """Checkpoint params + optimizer + step (same layout/pointer contract
+        as the prompt trainer's checkpoints)."""
+        from flax import serialization
+
+        model_dir = os.path.join(directory, name)
+        os.makedirs(model_dir, exist_ok=True)
+        path = os.path.join(model_dir, f"model.ckpt-{epoch}")
+        payload = {
+            "params": serialization.to_state_dict(jax.device_get(self.state.params)),
+            "opt_state": serialization.to_state_dict(jax.device_get(self.state.opt_state)),
+            "step": int(self.state.step),
+            "epoch": epoch,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        with open(os.path.join(model_dir, "checkpoint"), "w") as f:
+            f.write(os.path.basename(path))
+        return path
+
+    def resume(self, directory: str, name: str = "clip_finetune") -> int:
+        """Restore the newest checkpoint if present; returns start_epoch."""
+        from flax import serialization
+
+        from .checkpoint import latest_checkpoint, load_checkpoint
+
+        path = latest_checkpoint(directory, name)
+        if path is None:
+            return 0
+        payload = load_checkpoint(path)
+        host = jax.device_get(self.state)
+        params = serialization.from_state_dict(host.params, payload["params"])
+        opt = serialization.from_state_dict(host.opt_state, payload["opt_state"])
+        state = FinetuneState(
+            jnp.asarray(payload.get("step", 0), jnp.int32), params, opt
+        )
+        self.state = replicate(state, self.mesh)
+        return int(payload.get("epoch", -1)) + 1
+
+    # ------------------------------- loops -----------------------------------
+
+    def fit(self, batches, log_every: int = 10, metrics_writer=None):
         """batches: iterable of {'image': [B,H,W,3] float, 'tokens': [B,77]}."""
         for i, batch in enumerate(batches):
             sb = shard_batch(batch, self.mesh)
@@ -137,7 +226,66 @@ class CLIPFineTuner:
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 raise FloatingPointError(f"non-finite loss at step {i}")
+            if metrics_writer is not None:
+                metrics_writer.write_scalars(
+                    {"loss": loss, "acc": float(metrics["acc"])},
+                    int(self.state.step), prefix="finetune/",
+                )
             if (i + 1) % log_every == 0:
                 print(f"finetune step {i + 1}: loss {loss:.4f} "
                       f"acc {float(metrics['acc']):.3f}")
+        return self.state
+
+    def fit_pairs(
+        self,
+        pair_batcher,
+        epochs: int = 1,
+        output_dir: Optional[str] = None,
+        name: str = "clip_finetune",
+        resume: bool = True,
+        seed: int = 0,
+        log_every: int = 10,
+    ):
+        """Full (image, caption) pipeline: per-epoch shuffled PairBatcher
+        batches → device-side augmentation fused into the train step →
+        JSONL metrics → per-epoch checkpoints, with resume."""
+        step_fn = self._build_raw_step()
+        writer = None
+        start_epoch = 0
+        if output_dir:
+            from .metrics import MetricsWriter
+
+            writer = MetricsWriter(output_dir)
+            if resume:
+                start_epoch = self.resume(output_dir, name)
+                if start_epoch:
+                    print(f"resumed {name} at epoch {start_epoch} "
+                          f"(step {int(self.state.step)})")
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            for i, batch in enumerate(pair_batcher.epoch(epoch)):
+                step_seed = np.int32((seed * 1_000_003 + epoch * 100_000 + i)
+                                     % (2**31 - 1))
+                sb = shard_batch(batch, self.mesh)
+                self.state, metrics = step_fn(
+                    self.state, step_seed, sb["image_u8"], sb["content"], sb["tokens"]
+                )
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {i}"
+                    )
+                if writer is not None:
+                    writer.write_scalars(
+                        {"loss": loss, "acc": float(metrics["acc"])},
+                        int(self.state.step), prefix="finetune/",
+                    )
+                if (i + 1) % log_every == 0:
+                    print(f"epoch {epoch} step {i + 1}: loss {loss:.4f}")
+            if output_dir:
+                self.save(output_dir, name, epoch)
+                writer.flush()
+            print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+        if writer is not None:
+            writer.close()
         return self.state

@@ -134,3 +134,72 @@ def preprocess_train(
     img = jnp.where(jax.random.bernoulli(k_choice, 0.5), a, b)
     img = random_flip(k_flip, img)
     return clip_normalize(img)
+
+
+def _rrc_box_dynamic(key, h, w, scale=(0.6, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """random_resized_crop_box with TRACED content dims (for bucket-padded
+    batches where each image's true extent is a runtime value)."""
+    h = jnp.asarray(h, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n = 10
+    area = h * w
+    target = area * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        k2, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    ar = jnp.exp(log_r)
+    cw = jnp.sqrt(target * ar)
+    ch = jnp.sqrt(target / ar)
+    valid = (cw <= w) & (ch <= h)
+    side = jnp.minimum(h, w)
+    cw = jnp.where(valid, cw, side)
+    ch = jnp.where(valid, ch, side)
+    pick = jnp.where(valid.any(), jnp.argmax(valid), 0)
+    cw, ch = cw[pick], ch[pick]
+    y0 = jax.random.uniform(k3, ()) * (h - ch)
+    x0 = jax.random.uniform(k4, ()) * (w - cw)
+    return jnp.stack([y0, x0, y0 + ch, x0 + cw])[None]
+
+
+def preprocess_train_batch(
+    key,
+    images_u8: jnp.ndarray,    # [B, bh, bw, 3] bucket-padded uint8
+    content_hw: jnp.ndarray,   # [B, 2] true (h, w) per image
+    size: int = 224,
+    rrc_scale: Tuple[float, float] = (0.6, 1.0),
+    cutout_proportion: float = 0.4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Batched, content-aware train transform for bucket-padded raw images —
+    the device side of the (image, caption) pair pipeline. Same augmentation
+    family as ``preprocess_train`` (RandomChoice[RRC, center+cutout] → flip →
+    CLIP normalize) but boxes are sampled inside each image's true extent and
+    sampling runs through the MXU resampler."""
+    from .resize_matmul import crop_and_resize_matmul
+
+    b = images_u8.shape[0]
+    keys = jax.random.split(key, b)
+
+    def one(k, img_u8, chw):
+        img = img_u8.astype(dtype) / 255.0
+        k_choice, k_rrc, k_cut, k_flip = jax.random.split(k, 4)
+        h = chw[0].astype(jnp.float32)
+        w = chw[1].astype(jnp.float32)
+        box_rrc = _rrc_box_dynamic(k_rrc, h, w, rrc_scale)
+        side = jnp.minimum(h, w)
+        cy, cx = h / 2.0, w / 2.0
+        box_cc = jnp.stack(
+            [cy - side / 2, cx - side / 2, cy + side / 2, cx + side / 2]
+        )[None]
+        use_rrc = jax.random.bernoulli(k_choice, 0.5)
+        box = jnp.where(use_rrc, box_rrc, box_cc)
+        crop = crop_and_resize_matmul(
+            img, box.astype(jnp.float32), out_size=size, antialias=True,
+            content_hw=chw,
+        )[0]
+        crop = jnp.where(use_rrc, crop, cutout(k_cut, crop, cutout_proportion))
+        crop = random_flip(k_flip, crop)
+        return clip_normalize(crop)
+
+    return jax.vmap(one)(keys, images_u8, content_hw)

