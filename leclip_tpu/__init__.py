@@ -49,6 +49,10 @@ def __getattr__(name):
         "run_full_inference": ("leclip_tpu.inference.pipeline", "run_full_inference"),
         "build_caption_bank": ("leclip_tpu.inference.pipeline", "build_caption_bank"),
         "generate_final_answers": ("leclip_tpu.ops.ensemble", "generate_final_answers"),
+        "randaugment": ("leclip_tpu.ops.randaugment", "randaugment"),
+        "autoaugment": ("leclip_tpu.ops.autoaugment", "autoaugment"),
+        "gcn_forward": ("leclip_tpu.models.gcn", "gcn_forward"),
+        "init_gcn_params": ("leclip_tpu.models.gcn", "init_gcn_params"),
     }
     if name in table:
         import importlib

@@ -83,6 +83,10 @@ def main(argv=None):
 
     trainer = CaptionDistillTrainer(cfg, clip_params, clip_cfg)
     trainer.train(resume=bool(args.resume))
+    if not cfg.TEST.NO_TEST:
+        # reference after_train final test (dassl trainer.py:415-436); with
+        # TRAIN.probe_holdout set this reports REAL mAP on held-out captions
+        trainer.validate()
 
 
 if __name__ == "__main__":

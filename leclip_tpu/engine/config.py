@@ -101,6 +101,12 @@ class TrainConfig:
     spatial_SCALE_image: float = 40.0
     LMPT: bool = False
     LMPT_LAMBDA: float = 0.5
+    # Hold out every Nth training caption as a LABELED accuracy probe
+    # (0 = off). The competition val split is unlabeled (mAP always 0), so
+    # this held-out texts-as-images split is the only way a training run can
+    # show real mAP motion without competition data. Scored by
+    # trainer.validate().
+    probe_holdout: int = 0
 
 
 @dataclass

@@ -32,10 +32,13 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None, impl: str = "auto"):
+def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
+                   impl: str = "auto", kv_len=None):
     """One pre-LN residual attention block over [B, T, D]."""
     y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
-    x = x + multi_head_attention(y, p["attn"], n_heads, mask=mask, impl=impl)
+    x = x + multi_head_attention(
+        y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len
+    )
     y = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
     h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
     return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
@@ -48,13 +51,17 @@ def run_transformer(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     remat: bool = False,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Apply L stacked residual blocks via lax.scan. ``stacked`` leaves have a
     leading layer axis; ``remat`` enables rematerialisation for memory-bound
-    training regimes."""
+    training regimes; ``kv_len`` masks trailing pad keys (see
+    multi_head_attention)."""
 
     def body(h, layer_params):
-        return residual_block(h, layer_params, n_heads, mask=mask, impl=impl), None
+        return residual_block(
+            h, layer_params, n_heads, mask=mask, impl=impl, kv_len=kv_len
+        ), None
 
     if remat:
         body = jax.checkpoint(body)

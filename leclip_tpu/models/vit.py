@@ -38,7 +38,21 @@ def encode_image_vit(
     tokens = jnp.concatenate([cls, tokens], axis=1)
     tokens = tokens + params["positional_embedding"][: n + 1].astype(x.dtype)
     tokens = layer_norm(tokens, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
-    tokens = run_transformer(tokens, params["blocks"], n_heads, impl=impl)
+    # Pad the token axis ONCE to a tile-friendly multiple of 8 (197 → 200 for
+    # 224² inputs) so every layer's attention runs on aligned shapes — the
+    # resident pallas kernel then needs no per-layer pad/transpose traffic.
+    # Pad KEYS are masked via kv_len inside attention (numerically exact:
+    # exp(-1e30) == 0); pad QUERY rows are garbage and sliced off below.
+    n_real = n + 1
+    t_pad = (-n_real) % 8
+    if t_pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, t_pad), (0, 0)))
+    tokens = run_transformer(
+        tokens, params["blocks"], n_heads, impl=impl,
+        kv_len=n_real if t_pad else None,
+    )
+    if t_pad:
+        tokens = tokens[:, :n_real]
     tokens = layer_norm(tokens, params["ln_post"]["scale"], params["ln_post"]["bias"])
     proj = params["proj"].astype(x.dtype)
     g = tokens[:, 0] @ proj

@@ -99,10 +99,15 @@ def multi_head_attention(
     *,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Self-attention over [B, T, D] with packed-QKV parameters.
 
     params: {qkv_kernel [D,3D], qkv_bias [3D], out_kernel [D,D], out_bias [D]}
+
+    ``kv_len`` (static) marks trailing KEY positions as padding: callers that
+    pad T up to a tile-friendly length (the ViT encoder pads 197→200) mask the
+    pad keys here; pad QUERY rows compute garbage the caller slices off.
     """
     b, t, d = x.shape
     hd = d // n_heads
@@ -110,7 +115,22 @@ def multi_head_attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
+        # resident-head pallas kernel: packed-layout, VMEM-resident [T, T] —
+        # measured 5.1 vs 10.1 ms (XLA) at ViT-TTA shape [1220, 200, 768].
+        # Engages on aligned unmasked sequences big enough that the [T, T]
+        # matrices dominate (the 77-token text tower is causal-masked → XLA).
+        if on_tpu and mask is None and t % 8 == 0 and t >= 128 and hd == 64:
+            impl = "resident"
+        else:
+            impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
+    if impl == "resident":
+        from .flash_attention import resident_attention
+
+        out = resident_attention(q, k, v, n_heads, kv_len)
+        return out @ params["out_kernel"] + params["out_bias"]
+    if kv_len is not None and kv_len < t:
+        pad_mask = jnp.where(jnp.arange(t) < kv_len, 0.0, -1e30)
+        mask = pad_mask if mask is None else mask + pad_mask
     if impl == "pallas":
         def heads(y):
             return y.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)

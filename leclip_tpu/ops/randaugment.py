@@ -156,6 +156,11 @@ def translate_y(img, level, key):
     return affine_warp(img, m)
 
 
+def invert(img, level, key):
+    """ImageOps.invert — used by the AutoAugment policies (not RandAugment)."""
+    return 1.0 - img
+
+
 def cutout_op(img, level, key):
     h, w = img.shape[0], img.shape[1]
     size = jnp.maximum((jnp.abs(level) * 0.5 * min(h, w)), 1.0)

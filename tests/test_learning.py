@@ -67,3 +67,32 @@ def test_prompt_tuning_learns():
     # the signal comes purely from prompt/caption alignment
     assert after > before + 8, (before, after)
     assert after > 58, (before, after)
+
+
+def test_probe_holdout_validate_reports_real_map():
+    """TRAIN.probe_holdout carves a labeled caption probe out of training;
+    validate() scores it through the texts-as-images forward and must report
+    nonzero mAP that RISES with training (VERDICT r1 item 9)."""
+    tiny = PRESETS["RN-TEST"]
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    tokens, labels = synth(128, seed=3)
+    ds = CaptionDataset(tokens, labels, [], CLASSNAMES)
+    cfg = setup_config(opts=[
+        "OPTIM.MAX_EPOCH", "4", "OPTIM.LR", "0.05", "OPTIM.WARMUP_EPOCH", "-1",
+        "DATALOADER.BATCH_SIZE_TRAIN", "32", "TRAINER.N_CTX", "4",
+        "TRAIN.PRINT_FREQ", "1000", "TRAIN.CHECKPOINT_FREQ", "-1",
+        "TRAIN.probe_holdout", "4",
+    ])
+    tr = CaptionDistillTrainer(cfg, clip_params, tiny, dataset=ds)
+    assert tr.probe_tokens is not None and len(tr.probe_tokens) == 32
+    # held-out rows never reach the batcher
+    assert tr.batcher.steps_per_epoch() == (128 - 32) // 32
+
+    before = tr.validate()  # dispatches to validate_probe via probe split
+    assert 0.0 < before["mAP"] <= 100.0
+    for epoch in range(6):
+        for batch in tr.batcher.epoch(epoch):
+            sb = shard_batch(batch, tr.mesh)
+            tr.state, _ = tr.train_step(tr.state, sb["img"], sb["label"])
+    after = tr.validate()
+    assert after["mAP"] > before["mAP"] + 5, (before, after)
