@@ -180,3 +180,46 @@ def test_eval_cli_with_freq_stats_and_bank(workspace, tmp_path):
                                    "TEST.use_freq", "True"])
     preds = np.asarray(json.load(open(impreds)))
     assert preds.shape == (3, 80) and np.isfinite(preds).all()
+
+
+def test_eval_cli_heterogeneous_nctx_ensemble(workspace, tmp_path):
+    """Full eval with an ema member whose checkpoint n_ctx DIFFERS from the
+    other five (the real competition layout: ema is n_ctx=64, rest 16). The
+    r1 advisor reproduced a crash here — members with different ctx shapes
+    were stacked into one vmapped group ('All input arrays must have the
+    same shape'); eval must instead group by (flags, ctx shape) and read
+    n_ctx from the checkpoint itself."""
+    from leclip_tpu.cli.train import main as train_main
+
+    outs = {}
+    for nctx, tag in ((4, "main"), (8, "ema")):
+        out = tmp_path / f"run_{tag}"
+        opts = _common_opts(workspace)
+        opts[opts.index("TRAINER.N_CTX") + 1] = str(nctx)
+        train_main([
+            "--output-dir", str(out), "--backbone", "RN-TEST", "--seed", "0",
+        ] + opts)
+        outs[tag] = out / "prompt_learner" / "model.ckpt-0"
+
+    import shutil
+
+    model_dir = tmp_path / "best_model"
+    for name in ["best", "zema", "diff", "diffh", "difft"]:
+        (model_dir / name).mkdir(parents=True)
+        shutil.copy(outs["main"], model_dir / name / "model.ckpt")
+    (model_dir / "ema").mkdir(parents=True)
+    shutil.copy(outs["ema"], model_dir / "ema" / "model.ckpt")
+
+    from leclip_tpu.cli.eval import main as eval_main
+
+    impreds = tmp_path / "impreds_het.json"
+    eval_main([
+        "--backbone", "RN-TEST",
+        "--model-dir", str(model_dir),
+        "--out", str(impreds),
+        "--batch-size", "2",
+    ] + _common_opts(workspace) + ["TEST.multi_scale", "(2,)"])
+
+    preds = json.load(open(impreds))
+    assert len(preds) == 3 and len(preds[0]) == 80
+    assert np.isfinite(np.asarray(preds)).all()
