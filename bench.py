@@ -84,7 +84,8 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    batch_images = 4
+    import os
+    batch_images = int(os.environ.get("BENCH_BATCH", "4"))
     images = [
         rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         for _ in range(batch_images)

@@ -104,9 +104,13 @@ class PairBatcher:
         seed: int = 0,
         workers: int = 8,
         bucket: Tuple[int, int] = (512, 512),
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
         assert (captions is None) != (tokens is None), "pass captions OR tokens"
         self.paths = list(image_paths)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         if tokens is None:
             from .tokenizer import tokenize
 
@@ -127,7 +131,7 @@ class PairBatcher:
             pass
 
     def steps_per_epoch(self) -> int:
-        return max(1, len(self.paths) // self.batch_size)
+        return max(1, len(self.paths) // self.num_shards // self.batch_size)
 
     def _decode_chunk(self, paths: List[str]) -> List[np.ndarray]:
         if self._decode is not None:
@@ -139,12 +143,18 @@ class PairBatcher:
         from ..inference.tta import pad_to_bucket
 
         n = len(self.paths)
+        # identical permutation on every process, then a contiguous per-shard
+        # slice (CustomDistributedSamplerWrapper semantics, ref
+        # dassl/data/samplers.py:181-195) — each process loads only its shard
         order = np.random.default_rng(self.seed + epoch).permutation(n)
+        if self.num_shards > 1:
+            per = n // self.num_shards
+            order = order[self.shard_index * per : (self.shard_index + 1) * per]
         bs = self.batch_size
         for s in range(self.steps_per_epoch()):
-            idx = order[s * bs : (s + 1) * bs]
-            if len(idx) < bs:  # wrap so shapes stay static
-                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            # modular indexing wraps the tail AND datasets smaller than one
+            # batch, so every step has the full static batch shape
+            idx = order[np.arange(s * bs, (s + 1) * bs) % len(order)]
             imgs = self._decode_chunk([self.paths[i] for i in idx])
             padded, content = [], []
             for im in imgs:

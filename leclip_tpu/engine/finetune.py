@@ -248,7 +248,14 @@ class CLIPFineTuner:
     ):
         """Full (image, caption) pipeline: per-epoch shuffled PairBatcher
         batches → device-side augmentation fused into the train step →
-        JSONL metrics → per-epoch checkpoints, with resume."""
+        JSONL metrics → per-epoch checkpoints, with resume.
+
+        Multi-host: construct the PairBatcher with
+        ``shard_index=jax.process_index(), num_shards=jax.process_count()``
+        so each process loads a distinct shard — shard_batch assembles the
+        global array, and the contrastive arange-diagonal stays correct
+        (duplicated per-process data would give every caption P-1 identical
+        "negatives")."""
         step_fn = self._build_raw_step()
         writer = None
         start_epoch = 0

@@ -215,9 +215,13 @@ class CaptionDistillTrainer:
             self.probe_labels = labels[hold]
             tokens, labels = tokens[keep], labels[keep]
             print(f"probe holdout: {len(hold)} captions held out of training")
+        # multi-host: each process loads only its contiguous shard of every
+        # epoch permutation (per-rank batch = BATCH_SIZE_TRAIN, DDP
+        # semantics); shard_batch then assembles the global sharded array
         self.batcher = CaptionBatcher(
             tokens, labels,
             batch_size=cfg.DATALOADER.BATCH_SIZE_TRAIN, seed=cfg.SEED,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
         )
         steps = self.batcher.steps_per_epoch()
         self.optimizer = build_optimizer(cfg.OPTIM, steps)
@@ -270,12 +274,15 @@ class CaptionDistillTrainer:
             stats = load_freq_stats(path)
         else:
             stats = build_freq_stats(np.asarray(self.dataset.labels))
+        from ..ops.ensemble import normalized_cooccurrence
+
+        # the shared eval-side normalisation, with empty-class input guards
+        # (nums clamped to 1; rows with zero co-occurrence get a uniform-safe
+        # epsilon) so training and adjust_predictions can never diverge
         adj = np.asarray(stats["adj"], np.float64)
         nums = np.maximum(np.asarray(stats["nums"], np.float64), 1.0)
-        # normalized_cooccurrence's math, with empty-class guards
-        p = adj / nums[:, None]
-        row = np.maximum(p.sum(-1, keepdims=True), 1e-12)
-        return (p / row).astype(np.float32)
+        adj = adj + 1e-12  # keeps all row sums positive
+        return normalized_cooccurrence(adj, nums).astype(np.float32)
 
     def set_cooccurrence(self, co_matrix: np.ndarray):
         """Install the freq_stats co-occurrence matrix for the

@@ -498,10 +498,10 @@ class TTAEngine:
         from ..ops.ensemble import DEFAULT_ROUTING, routing_vector
 
         n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
+        # names_order is the exact stacking order of _fused_fn — the routing
+        # take_along_axis depends on the two sharing one ordering
         self._fused_routing = self._replicated(jnp.asarray(
-            routing_vector([n for n, _ in
-                            [(nm, None) for names, *_ in groups for nm in names]],
-                           DEFAULT_ROUTING, base=base, n_cls=n_cls)
+            routing_vector(names_order, DEFAULT_ROUTING, base=base, n_cls=n_cls)
         ))
         self._feature_fn_cache[key] = fused_fn
         return fused_fn

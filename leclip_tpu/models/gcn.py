@@ -74,7 +74,12 @@ def init_gcn_params(
 
 
 def gen_adj(a: jnp.ndarray) -> jnp.ndarray:
-    """Symmetric degree normalisation (A·D^-½)ᵀ·D^-½ (ref utils.py:236-240)."""
+    """Symmetric degree normalisation (A·D^-½)ᵀ·D^-½ (ref utils.py:236-240).
+
+    Provided-but-unwired, EXACTLY like the reference: its GC_module.forward
+    multiplies the raw adjacency and never calls gen_adj either (utils.py
+    :277-285). Callers doing ML-GCN-style propagation should pass
+    ``adj=gen_adj(A)`` to gcn_forward explicitly."""
     d = jnp.power(a.sum(1), -0.5)
     ad = a * d[None, :]          # A @ diag(D)
     return ad.T * d[None, :]     # (A D)^T @ diag(D)

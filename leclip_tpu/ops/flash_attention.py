@@ -147,8 +147,14 @@ def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads, kv_len, scale):
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
-        m = s.max(-1, keepdims=True)
-        p = jnp.where(col < kv_len, jnp.exp(s - m), 0.0).astype(v.dtype)
+        # mask pad keys BEFORE the max: pad columns carry garbage activations
+        # (the ViT lets pad rows compute junk through all layers) and a pad
+        # score that exceeds every real score by ~88 would underflow all real
+        # exp() terms → 0 denominator → NaN. Each where fuses into the pass
+        # that consumes it (reduce / exp) — no extra VPU sweep.
+        valid = col < kv_len
+        m = jnp.where(valid, s, NEG_INF).max(-1, keepdims=True)
+        p = jnp.where(valid, jnp.exp(s - m), 0.0).astype(v.dtype)
         ones = jnp.ones((g, t, 1), v.dtype)
         v_ext = jnp.concatenate([v, ones], axis=2)
         o_ext = jax.lax.dot_general(

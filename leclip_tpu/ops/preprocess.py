@@ -64,7 +64,10 @@ def random_resized_crop_box(
 ) -> jnp.ndarray:
     """Sample a torchvision-style RandomResizedCrop box [1, 4]. Ten rejection
     trials collapsed into a vectorised pick of the first valid sample, with
-    the torchvision center-crop fallback."""
+    the torchvision center-crop fallback. ``h``/``w`` may be static ints or
+    TRACED values (bucket-padded batches pass per-image content extents)."""
+    h = jnp.asarray(h, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     n = 10
     area = h * w
@@ -77,7 +80,7 @@ def random_resized_crop_box(
     ch = jnp.sqrt(target / ar)
     valid = (cw <= w) & (ch <= h)
     # fallback: full central square
-    side = float(min(h, w))
+    side = jnp.minimum(h, w)
     cw = jnp.where(valid, cw, side)
     ch = jnp.where(valid, ch, side)
     first = jnp.argmax(valid)  # 0 if none valid (fallback values there anyway)
@@ -136,32 +139,6 @@ def preprocess_train(
     return clip_normalize(img)
 
 
-def _rrc_box_dynamic(key, h, w, scale=(0.6, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
-    """random_resized_crop_box with TRACED content dims (for bucket-padded
-    batches where each image's true extent is a runtime value)."""
-    h = jnp.asarray(h, jnp.float32)
-    w = jnp.asarray(w, jnp.float32)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    n = 10
-    area = h * w
-    target = area * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
-    log_r = jax.random.uniform(
-        k2, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
-    )
-    ar = jnp.exp(log_r)
-    cw = jnp.sqrt(target * ar)
-    ch = jnp.sqrt(target / ar)
-    valid = (cw <= w) & (ch <= h)
-    side = jnp.minimum(h, w)
-    cw = jnp.where(valid, cw, side)
-    ch = jnp.where(valid, ch, side)
-    pick = jnp.where(valid.any(), jnp.argmax(valid), 0)
-    cw, ch = cw[pick], ch[pick]
-    y0 = jax.random.uniform(k3, ()) * (h - ch)
-    x0 = jax.random.uniform(k4, ()) * (w - cw)
-    return jnp.stack([y0, x0, y0 + ch, x0 + cw])[None]
-
-
 def preprocess_train_batch(
     key,
     images_u8: jnp.ndarray,    # [B, bh, bw, 3] bucket-padded uint8
@@ -186,7 +163,7 @@ def preprocess_train_batch(
         k_choice, k_rrc, k_cut, k_flip = jax.random.split(k, 4)
         h = chw[0].astype(jnp.float32)
         w = chw[1].astype(jnp.float32)
-        box_rrc = _rrc_box_dynamic(k_rrc, h, w, rrc_scale)
+        box_rrc = random_resized_crop_box(k_rrc, h, w, rrc_scale)
         side = jnp.minimum(h, w)
         cy, cx = h / 2.0, w / 2.0
         box_cc = jnp.stack(

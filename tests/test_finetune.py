@@ -117,3 +117,37 @@ def test_decay_mask_structure():
     assert mask["text"]["text_projection"] is True
     assert mask["text"]["token_embedding"] is False
     assert mask["logit_scale"] is False
+
+
+def test_pair_batcher_small_dataset_static_shapes(tmp_path):
+    """A dataset smaller than one batch must still yield full static-shape
+    batches (modular wrap); shards must partition the permutation."""
+    import numpy as np
+    from PIL import Image
+
+    from leclip_tpu.data.loader import PairBatcher
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (40, 48, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    caps = [f"a photo number {i}" for i in range(5)]
+
+    b = PairBatcher(paths, captions=caps, batch_size=16, bucket=(48, 48))
+    batches = list(b.epoch(0))
+    assert len(batches) == 1
+    assert batches[0]["image_u8"].shape == (16, 48, 48, 3)
+    assert batches[0]["tokens"].shape[0] == 16
+
+    # two shards cover disjoint halves of the same permutation
+    sh = [PairBatcher(paths[:4], captions=caps[:4], batch_size=2,
+                      shard_index=i, num_shards=2, bucket=(48, 48))
+          for i in range(2)]
+    seen = []
+    for s in sh:
+        assert s.steps_per_epoch() == 1
+        seen.extend(np.asarray(next(iter(s.epoch(0)))["tokens"])[:, :8].tolist())
+    # 4 distinct captions across the two shards (disjoint contiguous slices)
+    assert len({tuple(t) for t in seen}) == 4

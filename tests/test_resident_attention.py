@@ -106,3 +106,20 @@ def test_vit_padded_token_axis_matches_dense_outputs():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(tokens[:, 0] @ params["proj"]), atol=2e-5, rtol=2e-5
     )
+
+
+def test_resident_pad_keys_with_huge_garbage_no_nan():
+    """Pad-key activations are garbage in the padded ViT; if a pad score
+    exceeded every real score the old mask-after-max form underflowed all
+    real exp() terms -> 0 denominator -> NaN. Mask must precede the max."""
+    b, t_real, heads, dh, pad = 2, 13, 2, 8, 3
+    w = heads * dh
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (_rand(kk, (b, t_real, w)) for kk in ks)
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
+    out = resident_attention(qp, kp, vp, heads, t_real)[:, :t_real]
+    assert np.isfinite(np.asarray(out)).all()
+    ref = _xla_packed_attention(q, k, v, heads, t_real)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
