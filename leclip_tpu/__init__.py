@@ -53,6 +53,8 @@ def __getattr__(name):
         "autoaugment": ("leclip_tpu.ops.autoaugment", "autoaugment"),
         "gcn_forward": ("leclip_tpu.models.gcn", "gcn_forward"),
         "init_gcn_params": ("leclip_tpu.models.gcn", "init_gcn_params"),
+        "quantize_block_stack": ("leclip_tpu.ops.quant", "quantize_block_stack"),
+        "int8_matmul": ("leclip_tpu.ops.quant", "int8_matmul"),
     }
     if name in table:
         import importlib

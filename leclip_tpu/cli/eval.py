@@ -70,6 +70,10 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
         if jax.device_count() > 1 and jax.default_backend() != "cpu"
         else None
     )
+    prec = cfg.TEST.PREC
+    if prec == "int8" and not clip_cfg.is_vit:
+        print("note: TEST.PREC int8 needs a ViT backbone — falling back to bf16")
+        prec = "bf16"
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
         caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
@@ -79,6 +83,8 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
         block_coef=cfg.TEST.block_fuse_coef,
         crop_size=clip_cfg.image_resolution,
         mesh=mesh,
+        compute_dtype=jnp.float32 if prec == "fp32" else jnp.bfloat16,
+        precision="int8" if prec == "int8" else "bf16",
     )
     images = dataset.test_images
     if not images:

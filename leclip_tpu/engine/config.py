@@ -122,6 +122,8 @@ class TestConfig:
     use_freq: bool = False
     retrieval_topk: int = 10
     retrieval_merge: bool = True
+    PREC: str = "bf16"         # inference compute: fp32 | bf16 | int8 (int8 =
+                               # W8A8 encoder matmuls, ViT only; ops/quant.py)
     block_fuse_coef: float = 1.4
     block_threshold: float = 0.3
     FINAL_MODEL: str = "last_step"

@@ -180,6 +180,10 @@ class TTAEngine:
         antialias: bool = True,        # PIL-bicubic parity on downscale
         mesh=None,                     # jax.sharding.Mesh with a 'data' axis:
                                        # batch sharded, params/bank replicated
+        precision: str = "bf16",       # 'bf16' | 'int8' — int8 quantizes the
+                                       # ViT transformer's weight matmuls
+                                       # (W8A8, ops/quant.py); ~2x MXU rate,
+                                       # validated in tests/test_quant.py
     ):
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
@@ -211,6 +215,24 @@ class TTAEngine:
                 self.caption_bank = replicate(self.caption_bank, mesh)
             if self.cooccurrence is not None:
                 self.cooccurrence = replicate(self.cooccurrence, mesh)
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if precision == "int8" and not clip_cfg.is_vit:
+            raise ValueError("precision='int8' currently supports ViT backbones only")
+        self.precision = precision
+        self._q8 = None
+        if precision == "int8":
+            from ..ops.quant import quantize_block_stack
+
+            # quantize ON DEVICE in one program (eager per-op dispatch over the
+            # tunnel is catastrophic; and the int8 stack is ~86 MB — jit arg)
+            self._q8 = jax.jit(quantize_block_stack)(
+                self.clip_params["visual"]["blocks"]
+            )
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self._q8 = replicate(self._q8, mesh)
         # crop census is size-independent; probe it once
         _, counts = tta_sampling_boxes(480, 640, self.scales)
         self.n_blocks = sum(counts)
@@ -238,11 +260,11 @@ class TTAEngine:
 
         @jax.jit
         def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray,
-                       content_hw: jnp.ndarray):
+                       content_hw: jnp.ndarray, q8=None):
             imgs = images_u8.astype(dtype) / 255.0
             crops = jax.vmap(one)(imgs, boxes, content_hw)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = encode_image_features(clip_params, clip_cfg, flat, flags)
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags, q8=q8)
             # retrieval is model-independent → run it once here, shared by
             # every ensemble member (the reference redoes it per model)
             if has_bank:
@@ -380,7 +402,9 @@ class TTAEngine:
             # zero-size placeholder keeps the jit signature stable
             bank = self._replicated(jnp.zeros((1, 1), jnp.float32))
         im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
-        feats, aug, scores = feature_fn(self.clip_params, bank, im_d, bx_d, ct_d)
+        feats, aug, scores = feature_fn(
+            self.clip_params, bank, im_d, bx_d, ct_d, q8=self._q8
+        )
 
         results: Dict[str, dict] = {}
         sims_saved = None
@@ -454,11 +478,11 @@ class TTAEngine:
 
         @jax.jit
         def fused_fn(clip_params, bank, images_u8, boxes, content_hw,
-                     group_trs, group_tfs, routing_r, cooc):
+                     group_trs, group_tfs, routing_r, cooc, q8=None):
             imgs = images_u8.astype(dtype) / 255.0
             crops = jax.vmap(one)(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = encode_image_features(clip_params, clip_cfg, flat, flags0)
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
             if has_bank:
                 aug, scores = retrieval_augment(feats.global_feat, bank, topk)
             else:
@@ -532,7 +556,7 @@ class TTAEngine:
         out = fn(
             self.clip_params, bank, im_d, bx_d, ct_d,
             tuple(g[3] for g in groups), tuple(g[4] for g in groups),
-            self._fused_routing, cooc,
+            self._fused_routing, cooc, q8=self._q8,
         )
         return out if b0 == b else out[:b0]
 

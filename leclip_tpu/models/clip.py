@@ -61,6 +61,10 @@ PRESETS = {
         640, 288, (4, 6, 10, 6), 80, None,
         transformer_width=640, transformer_heads=10, transformer_layers=12,
     ),
+    "RN50x16": CLIPConfig(
+        768, 384, (6, 8, 18, 8), 96, None,
+        transformer_width=768, transformer_heads=12, transformer_layers=12,
+    ),
     "ViT-B/32": CLIPConfig(512, 224, 12, 768, 32),
     "ViT-B/16": CLIPConfig(512, 224, 12, 768, 16),
     "ViT-L/14": CLIPConfig(
@@ -104,13 +108,15 @@ def init_clip_params(key, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
 def clip_encode_image(
     params: dict, cfg: CLIPConfig, images: jnp.ndarray,
     dense: bool = False, if_pos: bool = True, impl: str = "auto",
+    q8: dict = None,
 ):
     """Images [B, H, W, 3] (normalized) → global embedding [B, E]; with
-    ``dense`` also the per-position embeddings."""
+    ``dense`` also the per-position embeddings. ``q8``: optional stacked
+    int8 transformer weights (W8A8 inference path, ViT only)."""
     if cfg.is_vit:
         return encode_image_vit(
             images, params["visual"], cfg.vision_heads, cfg.vision_patch_size,
-            dense=dense, impl=impl,
+            dense=dense, impl=impl, q8=q8,
         )
     return encode_image_resnet(
         images, params["visual"], cfg.vision_heads, dense=dense, if_pos=if_pos

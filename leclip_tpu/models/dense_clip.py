@@ -256,11 +256,12 @@ class ImageFeatures(NamedTuple):
 
 
 def encode_image_features(
-    clip_params: dict, clip_cfg: CLIPConfig, images: jnp.ndarray, flags: DenseFlags
+    clip_params: dict, clip_cfg: CLIPConfig, images: jnp.ndarray, flags: DenseFlags,
+    q8: dict = None,
 ) -> ImageFeatures:
     out = clip_encode_image(
         clip_params, clip_cfg, images, dense=True, if_pos=False,
-        impl=flags.attention_impl,
+        impl=flags.attention_impl, q8=q8,
     )
     if clip_cfg.is_vit:
         global_raw, tokens = out  # ViT dense tokens are already projected

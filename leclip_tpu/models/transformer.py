@@ -33,15 +33,25 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
-                   impl: str = "auto", kv_len=None):
-    """One pre-LN residual attention block over [B, T, D]."""
+                   impl: str = "auto", kv_len=None, q8=None):
+    """One pre-LN residual attention block over [B, T, D].
+
+    ``q8`` (optional) carries int8 kernels + scales for the block's four
+    weight matmuls (see ops/quant.py) — the W8A8 inference fast path; LN,
+    softmax, residuals and GELU stay bf16/fp32."""
     y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
     x = x + multi_head_attention(
-        y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len
+        y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len,
+        q8=None if q8 is None else q8["attn"],
     )
     y = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
-    h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
-    return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
+    if q8 is None:
+        h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
+        return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
+    from ..ops.quant import int8_matmul
+
+    h = quick_gelu(int8_matmul(y, *q8["mlp"]["fc"], bias=p["mlp"]["fc_bias"]))
+    return x + int8_matmul(h, *q8["mlp"]["proj"], bias=p["mlp"]["proj_bias"])
 
 
 def run_transformer(
@@ -52,20 +62,29 @@ def run_transformer(
     impl: str = "auto",
     remat: bool = False,
     kv_len: Optional[int] = None,
+    q8: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Apply L stacked residual blocks via lax.scan. ``stacked`` leaves have a
     leading layer axis; ``remat`` enables rematerialisation for memory-bound
     training regimes; ``kv_len`` masks trailing pad keys (see
-    multi_head_attention)."""
+    multi_head_attention); ``q8`` is an optional stacked int8 weight pytree
+    (ops/quant.py quantize_block_stack) scanned alongside ``stacked``."""
 
-    def body(h, layer_params):
+    def body(h, xs):
+        layer_params, layer_q8 = xs
         return residual_block(
-            h, layer_params, n_heads, mask=mask, impl=impl, kv_len=kv_len
+            h, layer_params, n_heads, mask=mask, impl=impl, kv_len=kv_len,
+            q8=layer_q8,
         ), None
 
     if remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, x, stacked)
+    # q8=None must not appear inside the scanned xs (scan requires arrays), so
+    # broadcast a per-layer None only structurally when quantized.
+    if q8 is None:
+        out, _ = jax.lax.scan(lambda h, lp: body(h, (lp, None)), x, stacked)
+    else:
+        out, _ = jax.lax.scan(body, x, (stacked, q8))
     return out
 
 

@@ -100,6 +100,7 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     kv_len: Optional[int] = None,
+    q8: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Self-attention over [B, T, D] with packed-QKV parameters.
 
@@ -108,10 +109,19 @@ def multi_head_attention(
     ``kv_len`` (static) marks trailing KEY positions as padding: callers that
     pad T up to a tile-friendly length (the ViT encoder pads 197→200) mask the
     pad keys here; pad QUERY rows compute garbage the caller slices off.
+
+    ``q8`` (optional): {'qkv': (w_i8, s_w), 'out': (w_i8, s_w)} int8 kernels
+    for the two projections (W8A8 inference path, ops/quant.py); the
+    attention core itself stays bf16.
     """
     b, t, d = x.shape
     hd = d // n_heads
-    qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+    if q8 is not None:
+        from .quant import int8_matmul
+
+        qkv = int8_matmul(x, *q8["qkv"], bias=params["qkv_bias"])
+    else:
+        qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -123,11 +133,18 @@ def multi_head_attention(
             impl = "resident"
         else:
             impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
+    def out_proj(out):
+        if q8 is not None:
+            from .quant import int8_matmul
+
+            return int8_matmul(out, *q8["out"], bias=params["out_bias"])
+        return out @ params["out_kernel"] + params["out_bias"]
+
     if impl == "resident":
         from .flash_attention import resident_attention
 
         out = resident_attention(q, k, v, n_heads, kv_len)
-        return out @ params["out_kernel"] + params["out_bias"]
+        return out_proj(out)
     if kv_len is not None and kv_len < t:
         pad_mask = jnp.where(jnp.arange(t) < kv_len, 0.0, -1e30)
         mask = pad_mask if mask is None else mask + pad_mask
@@ -144,7 +161,7 @@ def multi_head_attention(
             v.reshape(b, t, n_heads, hd),
             mask, impl,
         ).reshape(b, t, d)
-    return out @ params["out_kernel"] + params["out_bias"]
+    return out_proj(out)
 
 
 @functools.lru_cache()

@@ -1,0 +1,98 @@
+"""Int8 (W8A8) matmul path for the TTA image encoder.
+
+The v5e MXU executes int8 x int8 -> int32 at twice the bf16 rate, and the
+ViT-B/16 encoder at TTA batch sizes is matmul-bound (~80% of step time), so
+quantizing the transformer's six weight matmuls is the only lever that can
+push single-chip TTA throughput past bf16 speed-of-light (~4.4k crop-fwd/s)
+toward the >=5k north-star (BASELINE.md targets).
+
+Scheme — standard W8A8 dynamic quantization:
+* weights: symmetric per-output-channel int8 (`quantize_weight`), folded once
+  at engine build;
+* activations: symmetric per-row (per-token) int8 computed on the fly
+  (`int8_matmul`); the abs-max + scale pass fuses into the elementwise chain
+  that produced the activation (layernorm / GELU), so it costs one extra VMEM
+  pass, not an HBM round trip;
+* accumulation in int32 on the MXU, rescale `s_x[m] * s_w[n]` in fp32 fused
+  into the bias add.
+
+This is an extension over the reference (which runs fp32 CUDA,
+ref: project/my_code/trainers/Caption_distill_double.py:746-748 clip_model
+.float()); it is OPT-IN (`TTAEngine(precision='int8')`) and off for training.
+Accuracy is validated in tests/test_quant.py (per-block relative error and
+end-to-end encoder cosine similarity vs the bf16 path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray):
+    """Symmetric per-output-channel int8 quantization of a [K, N] kernel.
+
+    Returns (w_i8 [K, N], s_w [N] fp32) with w ~= w_i8 * s_w.
+    """
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    w_i8 = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return w_i8, s
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row (per-token) int8 quantization of [..., K] activations.
+
+    Returns (x_i8, s_x [..., 1] fp32) with x ~= x_i8 * s_x.
+    """
+    x32 = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    x_i8 = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return x_i8, s
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    w_i8: jnp.ndarray,
+    s_w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """``x @ w`` with dynamic per-row activation quantization.
+
+    x: [..., K] float; w_i8/s_w from :func:`quantize_weight`. The int8xint8
+    contraction accumulates in int32 on the MXU; the fp32 rescale and bias
+    fold into one elementwise epilogue.
+    """
+    x_i8, s_x = quantize_rows(x)
+    o = jax.lax.dot_general(
+        x_i8, w_i8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = o.astype(jnp.float32) * (s_x * s_w.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def quantize_block_stack(blocks: dict) -> dict:
+    """Quantize a stacked transformer block pytree (leading layer axis) into
+    int8 kernels + fp32 scales; layout mirrors the bf16 stack so the scan in
+    run_transformer can carry it alongside."""
+
+    def q(stacked_kernel):
+        # vmap over the layer axis so scales are per-layer, per-channel
+        return jax.vmap(quantize_weight)(stacked_kernel)
+
+    qkv_i8, qkv_s = q(blocks["attn"]["qkv_kernel"])
+    out_i8, out_s = q(blocks["attn"]["out_kernel"])
+    fc_i8, fc_s = q(blocks["mlp"]["fc_kernel"])
+    proj_i8, proj_s = q(blocks["mlp"]["proj_kernel"])
+    return {
+        "attn": {"qkv": (qkv_i8, qkv_s), "out": (out_i8, out_s)},
+        "mlp": {"fc": (fc_i8, fc_s), "proj": (proj_i8, proj_s)},
+    }

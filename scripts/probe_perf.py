@@ -1,0 +1,108 @@
+"""One-off probe: where does the ViT-B/16 encoder's time go, and can int8 help?
+
+Chained-timing methodology (see microbench_encoder.py docstring): this tunnel's
+block_until_ready does not wait for execution, so each op is measured as
+(t_3N - t_N) / 2N over fori_loop-chained programs whose carry consumes every
+output element.
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+M = 1220 * 200  # crops x padded tokens
+D = 768
+
+
+def chain(f, args, n):
+    @jax.jit
+    def prog(*a):
+        def body(i, s):
+            out = f(a[0] + s.astype(a[0].dtype), *a[1:])
+            return s + 1e-6 * jnp.asarray(out, jnp.float32).mean()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    return prog
+
+
+def measure(label, f, args, n=4, flops=None):
+    p1, p3 = chain(f, args, n), chain(f, args, 3 * n)
+    np.asarray(p1(*args)); np.asarray(p3(*args))
+    t0 = time.perf_counter(); np.asarray(p1(*args)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); np.asarray(p3(*args)); t3 = time.perf_counter() - t0
+    per = (t3 - t1) / (2 * n)
+    extra = f"  {flops / per / 1e12:7.1f} T/s" if flops else ""
+    print(f"{label:<46} {per * 1e3:8.2f} ms{extra}", flush=True)
+    return per
+
+
+def main():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (M, D), jnp.bfloat16)
+    w1 = jax.random.normal(k, (D, 4 * D), jnp.bfloat16) * 0.02
+    w2 = jax.random.normal(k, (4 * D, D), jnp.bfloat16) * 0.02
+
+    # --- bf16 matmuls at MLP shapes
+    measure("bf16 matmul M x768x3072", lambda a, w: a @ w, (x, w1),
+            flops=2 * M * D * 4 * D)
+    xi = (x * 10).astype(jnp.int8)
+    w1i = (w1 * 500).astype(jnp.int8)
+    measure("int8 matmul M x768x3072 (pre-quantized)",
+            lambda a, w: jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32),
+            (xi, w1i), flops=2 * M * D * 4 * D)
+
+    # int8 incl. dynamic per-row activation quant + fp rescale of output
+    def int8_dyn(a, w, wscale):
+        s = jnp.max(jnp.abs(a), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+        ai = jnp.round(a.astype(jnp.float32) / s).astype(jnp.int8)
+        o = jax.lax.dot_general(ai, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (o.astype(jnp.float32) * s * wscale).astype(jnp.bfloat16)
+
+    wscale = (jnp.max(jnp.abs(w1.astype(jnp.float32)), axis=0, keepdims=True) / 127.0)
+    measure("int8 matmul + dyn act quant + rescale",
+            lambda a, w, ws: int8_dyn(a, w, ws), (x, w1i, wscale),
+            flops=2 * M * D * 4 * D)
+
+    # --- elementwise cost floor: one LN-like fp32 pass over [M, 768]
+    def ln(a):
+        a32 = a.astype(jnp.float32)
+        m = a32.mean(-1, keepdims=True)
+        v = ((a32 - m) ** 2).mean(-1, keepdims=True)
+        return ((a32 - m) * jax.lax.rsqrt(v + 1e-5)).astype(jnp.bfloat16)
+
+    measure("layernorm pass over [M,768]", ln, (x,))
+
+    # --- quick_gelu pass at MLP width
+    h = jax.random.normal(k, (M, 4 * D), jnp.bfloat16)
+    measure("quickgelu pass over [M,3072]",
+            lambda a: a * jax.nn.sigmoid(1.702 * a), (h,))
+
+    # --- full MLP (matmul+gelu+matmul) fused by XLA
+    measure("full MLP bf16 (fc+gelu+proj)",
+            lambda a, ww1, ww2: (lambda t: t * jax.nn.sigmoid(1.702 * t))(a @ ww1) @ ww2,
+            (x, w1, w2), flops=2 * M * D * 4 * D * 2)
+
+    # --- attention: resident kernel vs xla at bench shape
+    from leclip_tpu.ops.attention import multi_head_attention
+    xt = jax.random.normal(k, (1220, 200, D), jnp.bfloat16)
+    attn_p = {
+        "qkv_kernel": jax.random.normal(k, (D, 3 * D), jnp.bfloat16) * 0.02,
+        "qkv_bias": jnp.zeros((3 * D,), jnp.bfloat16),
+        "out_kernel": jax.random.normal(k, (D, D), jnp.bfloat16) * 0.02,
+        "out_bias": jnp.zeros((D,), jnp.bfloat16),
+    }
+    measure("attention layer (resident kernel)",
+            lambda a, p: multi_head_attention(a, p, 12, kv_len=197),
+            (xt, attn_p))
+    measure("attention layer (xla)",
+            lambda a, p: multi_head_attention(a, p, 12, impl="xla", kv_len=197),
+            (xt, attn_p))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
 """Layered config merge semantics."""
 
+import pathlib
+
 import pytest
 
 from leclip_tpu.engine.config import default_config, setup_config
@@ -55,3 +57,52 @@ def test_clone_unfreezes():
     c2 = cfg.clone()
     c2.SEED = 7
     assert c2.SEED == 7 and cfg.SEED == 1
+
+
+# --- shipped trainer recipes --------------------------------------------------
+
+_CONFIG_DIR = pathlib.Path(__file__).resolve().parents[1] / "configs" / "trainers"
+
+# every reference recipe in configs/trainers/Caption_distill_double/ has a
+# named counterpart here (the six shipped train_2.sh recipes keep their
+# ensemble-member names; the 13 alternates keep the reference file stem)
+_REFERENCE_RECIPE_MAP = {
+    "rn50-1k-ChatGLM_multi_labels_evidence_best15e": "best",
+    "rn50-1k-ChatGLM_multi_labels_ema": "ema",
+    "rn50-1k-ChatGLM_multi_labels_zema100e": "zema",
+    "rn50-1k-ChatGLM_multi_labels_check_diff_100e": "diff",
+    "rn50-1k-ChatGLM_multi_labels_check_diffh_100eEMA": "diffh",
+    "rn50-1k-ChatGLM_multi_labels_evidence_check_difft_15e": "difft",
+    "rn50": "rn50",
+    "rn50-1k-ChatGLM_multi_labels_best15e": "best15e",
+    "rn50-1k-ChatGLM_multi_labels_jiawei15e": "jiawei15e",
+    "rn50-1k-ChatGLM_multi_labels_mix": "mix",
+    "rn50-1k-ChatGLM_multi_labels_zuan100e": "zuan100e",
+    "rn50-1k-ChatGLM_multi_labels_check_diffh_100eNoEMA": "check_diffh_100eNoEMA",
+    "rn50-1k-ChatGLM_multi_labels_check_difft_20e": "check_difft_20e",
+    "rn50-1k-ChatGLM_multi_labels_evidence_check_diff_15e": "evidence_check_diff_15e",
+    "rn50-1k-ChatGLM_multi_labels_evidence_check_diffh_100eEMA": "evidence_check_diffh_100eEMA",
+    "rn50-1k-ChatGLM_multi_labels_evidence_ema": "evidence_ema",
+    "rn50-1k-ChatGLM_multi_labels_evidence_jiawei15e": "evidence_jiawei15e",
+    "rn50-1k-ChatGLM_multi_labels_evidence_zema100e": "evidence_zema100e",
+    "rn50-1k-ChatGLM_multi_labels_evidence_zuan20e": "evidence_zuan20e",
+}
+
+
+def test_all_shipped_recipes_load():
+    import leclip_tpu.data.datasets  # noqa: F401  (populates the registry)
+    from leclip_tpu.utils.registry import DATASET_REGISTRY
+
+    yamls = sorted(_CONFIG_DIR.glob("*.yaml"))
+    assert len(yamls) >= 19
+    for y in yamls:
+        cfg = setup_config(trainer_yaml=str(y))
+        assert cfg.DATASET.NAME in DATASET_REGISTRY, y.name
+        assert cfg.OPTIM.LR > 0 and cfg.OPTIM.MAX_EPOCH > 0, y.name
+        assert cfg.TRAIN.LOSSFUNC == "double_ranking", y.name
+
+
+def test_reference_recipe_map_complete():
+    ours = {y.stem for y in _CONFIG_DIR.glob("*.yaml")}
+    missing = set(_REFERENCE_RECIPE_MAP.values()) - ours
+    assert not missing, f"reference recipes without a counterpart: {missing}"

@@ -159,6 +159,12 @@ def test_config_from_state_dict_presets():
     assert params["visual"]["positional_embedding"].shape[0] == cfg.grid_size**2 + 1
     assert PRESETS["RN50"].vision_heads == 32
     assert PRESETS["ViT-B/16"].vision_heads == 12
+    # every architecture in the reference's _MODELS URL table has a preset
+    # (ref: project/my_code/clip/clip.py:29-36)
+    for name in ("RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16"):
+        assert name in PRESETS, name
+    assert PRESETS["RN50x16"].image_resolution == 384
+    assert PRESETS["RN50x16"].vision_heads == 48
 
 
 @requires_reference

@@ -1,0 +1,104 @@
+"""W8A8 int8 inference path (ops/quant.py): quantization round-trip bounds,
+matmul accuracy vs fp32, transformer-stack agreement, and the TTAEngine
+precision='int8' end-to-end path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from leclip_tpu.ops.quant import (
+    int8_matmul,
+    quantize_block_stack,
+    quantize_rows,
+    quantize_weight,
+)
+
+
+def test_weight_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.05
+    w_i8, s = quantize_weight(w)
+    assert w_i8.dtype == jnp.int8 and s.shape == (128,)
+    recon = w_i8.astype(jnp.float32) * s
+    # symmetric 8-bit: max error is half a quantization step per channel
+    step = np.asarray(s)
+    err = np.abs(np.asarray(recon) - np.asarray(w, np.float32))
+    assert (err <= 0.5 * step[None, :] + 1e-7).all()
+
+
+def test_rows_roundtrip_error():
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 64)) * 3.0
+    x_i8, s = quantize_rows(x)
+    recon = np.asarray(x_i8, np.float32) * np.asarray(s)
+    err = np.abs(recon - np.asarray(x, np.float32))
+    assert (err <= 0.5 * np.asarray(s) + 1e-6).all()
+
+
+def test_int8_matmul_close_to_fp32():
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (128, 256))
+    w = jax.random.normal(jax.random.PRNGKey(3), (256, 192)) * 0.03
+    bias = jax.random.normal(jax.random.PRNGKey(4), (192,)) * 0.1
+    ref = np.asarray(x @ w + bias, np.float32)
+    w_i8, s_w = quantize_weight(w)
+    out = np.asarray(
+        int8_matmul(x, w_i8, s_w, bias=bias, out_dtype=jnp.float32), np.float32
+    )
+    # relative error of W8A8 on gaussian data: ~0.5-1% of the output scale
+    scale = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() < 0.02 * max(scale, 1e-3)
+    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.999
+
+
+def test_transformer_stack_int8_agrees():
+    from leclip_tpu.models.transformer import init_block_stack, run_transformer
+
+    width, layers, heads = 64, 3, 2
+    blocks = init_block_stack(jax.random.PRNGKey(5), layers, width)
+    q8 = quantize_block_stack(blocks)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 16, width))
+    ref = np.asarray(run_transformer(x, blocks, heads), np.float32)
+    out = np.asarray(run_transformer(x, blocks, heads, q8=q8), np.float32)
+    # residual stream dominated by the (unquantized) skip connections; per-
+    # token cosine similarity should survive 3 quantized layers
+    num = (ref * out).sum(-1)
+    den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+    assert (num / den > 0.995).all()
+
+
+def test_tta_engine_int8_end_to_end():
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
+    from leclip_tpu.inference.tta import TTAEngine, build_model_spec
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.models.dense_clip import DenseFlags
+    from leclip_tpu.models.prompt import build_prompt_learner
+
+    cfg = PRESETS["ViT-TEST"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    classnames = COCO_OBJECT_CATEGORIES[:8]
+    tr, cs = build_prompt_learner(jax.random.PRNGKey(1), params, classnames, n_ctx=4)
+    spec = build_model_spec(params, cfg, tr, cs, DenseFlags())
+    imgs = [
+        np.random.default_rng(i).integers(0, 255, (96, 128, 3)).astype(np.uint8)
+        for i in range(2)
+    ]
+    kw = dict(scales=(2,), crop_size=cfg.image_resolution)
+    ref = TTAEngine(params, cfg, {"best": spec}, **kw).run_batch_fused(imgs)
+    out = TTAEngine(
+        params, cfg, {"best": spec}, precision="int8", **kw
+    ).run_batch_fused(imgs)
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    # fused competition scores track the bf16 path closely
+    c = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
+    assert c > 0.99, c
+
+
+def test_int8_rejects_resnet():
+    from leclip_tpu.inference.tta import TTAEngine
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+
+    cfg = PRESETS["RN-TEST"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        TTAEngine(params, cfg, {}, precision="int8")
