@@ -36,9 +36,26 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
                    impl: str = "auto", kv_len=None, q8=None):
     """One pre-LN residual attention block over [B, T, D].
 
-    ``q8`` (optional) carries int8 kernels + scales for the block's four
-    weight matmuls (see ops/quant.py) — the W8A8 inference fast path; LN,
-    softmax, residuals and GELU stay bf16/fp32."""
+    ``q8`` (optional) enables the W8A8 inference fast path (ops/quant.py +
+    ops/quant_kernels.py): LN+quantize fused in one pallas pass feeding an
+    int8 QKV matmul, and the whole MLP (LN -> int8 fc -> GELU -> int8 proj ->
+    residual) as one pallas kernel with the hidden activations VMEM-resident.
+    Attention core and its output projection stay bf16; softmax/LN stats fp32.
+    """
+    if q8 is not None and mask is None:
+        from ..ops.quant_kernels import attn_block_int8, mlp_int8
+
+        x = attn_block_int8(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            *q8["attn"]["qkv"], p["attn"]["qkv_bias"],
+            p["attn"]["out_kernel"], p["attn"]["out_bias"],
+            n_heads, kv_len=kv_len,
+        )
+        return mlp_int8(
+            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+            *q8["mlp"]["fc"], p["mlp"]["fc_bias"],
+            *q8["mlp"]["proj"], p["mlp"]["proj_bias"],
+        )
     y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
     x = x + multi_head_attention(
         y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len,

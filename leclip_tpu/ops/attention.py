@@ -110,18 +110,36 @@ def multi_head_attention(
     pad T up to a tile-friendly length (the ViT encoder pads 197→200) mask the
     pad keys here; pad QUERY rows compute garbage the caller slices off.
 
-    ``q8`` (optional): {'qkv': (w_i8, s_w), 'out': (w_i8, s_w)} int8 kernels
-    for the two projections (W8A8 inference path, ops/quant.py); the
-    attention core itself stays bf16.
+    ``q8`` (optional): {'qkv': (w_i8, s_w), ...} int8 kernel for the QKV
+    projection (W8A8 inference path, ops/quant.py); the attention core and
+    the output projection stay bf16.
     """
-    b, t, d = x.shape
-    hd = d // n_heads
     if q8 is not None:
         from .quant import int8_matmul
 
         qkv = int8_matmul(x, *q8["qkv"], bias=params["qkv_bias"])
     else:
         qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+    return attention_from_qkv(
+        qkv, params, n_heads, mask=mask, impl=impl, kv_len=kv_len
+    )
+
+
+def attention_from_qkv(
+    qkv: jnp.ndarray,
+    params: dict,
+    n_heads: int,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Attention core + output projection given the packed [B, T, 3D] QKV
+    activations (lets callers own the QKV matmul — e.g. the W8A8 path feeds
+    it from the fused ln_quant kernel)."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // n_heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -133,11 +151,11 @@ def multi_head_attention(
             impl = "resident"
         else:
             impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
+    # out projection stays bf16 even under q8: its input (the attention mix)
+    # is bf16 in HBM, so dynamic quantization costs a full extra pass (~1.2 ms
+    # at TTA shape) to save only ~0.6 ms of matmul — a measured net loss
+    # (scripts/probe_perf.py).
     def out_proj(out):
-        if q8 is not None:
-            from .quant import int8_matmul
-
-            return int8_matmul(out, *q8["out"], bias=params["out_bias"])
         return out @ params["out_kernel"] + params["out_bias"]
 
     if impl == "resident":

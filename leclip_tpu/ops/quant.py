@@ -79,6 +79,26 @@ def int8_matmul(
     return y.astype(out_dtype)
 
 
+def int8_matmul_prequant(
+    x_i8: jnp.ndarray,
+    s_x: jnp.ndarray,
+    w_i8: jnp.ndarray,
+    s_w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Like :func:`int8_matmul` but with activations already quantized (e.g.
+    by the fused ``ln_quant`` kernel, ops/quant_kernels.py)."""
+    o = jax.lax.dot_general(
+        x_i8, w_i8, (((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = o.astype(jnp.float32) * (s_x * s_w.astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def quantize_block_stack(blocks: dict) -> dict:
     """Quantize a stacked transformer block pytree (leading layer axis) into
     int8 kernels + fp32 scales; layout mirrors the bf16 stack so the scan in

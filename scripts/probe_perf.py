@@ -5,7 +5,11 @@ block_until_ready does not wait for execution, so each op is measured as
 (t_3N - t_N) / 2N over fori_loop-chained programs whose carry consumes every
 output element.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -41,6 +45,12 @@ def measure(label, f, args, n=4, flops=None):
 
 def main():
     k = jax.random.PRNGKey(0)
+    if os.environ.get("PROBE_ONLY_ENCODER", "") == "1":
+        encoder_section(k)
+        return
+    if os.environ.get("PROBE_LAYER_PARTS", "") == "1":
+        layer_parts_section(k)
+        return
     x = jax.random.normal(k, (M, D), jnp.bfloat16)
     w1 = jax.random.normal(k, (D, 4 * D), jnp.bfloat16) * 0.02
     w2 = jax.random.normal(k, (4 * D, D), jnp.bfloat16) * 0.02
@@ -102,6 +112,90 @@ def main():
     measure("attention layer (xla)",
             lambda a, p: multi_head_attention(a, p, 12, impl="xla", kv_len=197),
             (xt, attn_p))
+
+    encoder_section(k)
+
+
+def layer_parts_section(k):
+    """Per-part timing of the int8 residual block at TTA shape."""
+    from leclip_tpu.models.transformer import init_block_stack, residual_block
+    from leclip_tpu.ops.attention import attention_from_qkv
+    from leclip_tpu.ops.quant import int8_matmul_prequant, quantize_weight
+    from leclip_tpu.ops.quant_kernels import ln_quant, mlp_int8
+
+    B, T = 1220, 200
+    x = jax.random.normal(k, (B, T, D), jnp.bfloat16)
+    blocks = init_block_stack(jax.random.PRNGKey(1), 1, D, jnp.bfloat16)
+    layer = jax.tree.map(lambda a: a[0], blocks)
+    qkv_i8, qkv_s = quantize_weight(layer["attn"]["qkv_kernel"])
+    fc_i8, fc_s = quantize_weight(layer["mlp"]["fc_kernel"])
+    pj_i8, pj_s = quantize_weight(layer["mlp"]["proj_kernel"])
+
+    measure("ln_quant [1220,200,768]",
+            lambda a, s, b: ln_quant(a, s, b)[0],
+            (x, layer["ln_1"]["scale"], layer["ln_1"]["bias"]))
+
+    xi, s = ln_quant(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"])
+
+    def qkv_fn(a, w, ws, b):
+        return int8_matmul_prequant(a, s, w, ws, bias=b)
+
+    measure("int8 QKV matmul (prequant) 768->2304",
+            lambda a, w, ws, b: int8_matmul_prequant(a, s, w, ws, bias=b),
+            (xi, qkv_i8, qkv_s, layer["attn"]["qkv_bias"]),
+            flops=2 * B * T * D * 3 * D)
+
+    qkv = int8_matmul_prequant(xi, s, qkv_i8, qkv_s, bias=layer["attn"]["qkv_bias"])
+    measure("attention core + out proj (from qkv)",
+            lambda a, p: attention_from_qkv(a, p, 12, kv_len=197),
+            (qkv, layer["attn"]))
+    measure("mlp_int8 fused [1220,200,768]",
+            lambda a: mlp_int8(
+                a, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
+                fc_i8, fc_s, layer["mlp"]["fc_bias"],
+                pj_i8, pj_s, layer["mlp"]["proj_bias"],
+            ),
+            (x,), flops=2 * B * T * D * 4 * D * 2)
+    from leclip_tpu.ops.quant_kernels import attn_block_int8
+
+    measure("attn_block_int8 megakernel",
+            lambda a: attn_block_int8(
+                a, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
+                qkv_i8, qkv_s, layer["attn"]["qkv_bias"],
+                layer["attn"]["out_kernel"], layer["attn"]["out_bias"],
+                12, kv_len=197,
+            ),
+            (x,))
+    measure("full residual block int8",
+            lambda a: residual_block(
+                a, layer, 12, kv_len=197,
+                q8={"attn": {"qkv": (qkv_i8, qkv_s)},
+                    "mlp": {"fc": (fc_i8, fc_s), "proj": (pj_i8, pj_s)}},
+            ),
+            (x,))
+    measure("full residual block bf16",
+            lambda a: residual_block(a, layer, 12, kv_len=197),
+            (x,))
+
+
+def encoder_section(k):
+    # --- full encoder: bf16 vs int8 (the decisive number)
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.models.vit import encode_image_vit
+    from leclip_tpu.ops.quant import quantize_block_stack
+
+    cfg = PRESETS["ViT-B/16"]
+    init_fn = jax.jit(lambda key: init_clip_params(key, cfg, dtype=jnp.bfloat16))
+    params = init_fn(jax.random.PRNGKey(0))["visual"]
+    q8 = jax.jit(quantize_block_stack)(params["blocks"])
+    xim = jax.random.normal(k, (1220, 224, 224, 3), jnp.bfloat16)
+    enc_flops = 1220 * 12 * (12 * D * D + 2 * 197 * D) * 200 * 2
+    measure("encoder bf16 [1220 crops]",
+            lambda im, p: encode_image_vit(im, p, 12, 16, dense=True)[1],
+            (xim, params), n=2, flops=enc_flops)
+    measure("encoder int8 [1220 crops]",
+            lambda im, p, q: encode_image_vit(im, p, 12, 16, dense=True, q8=q)[1],
+            (xim, params, q8), n=2, flops=enc_flops)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,50 @@ def test_int8_matmul_close_to_fp32():
     assert cos > 0.999
 
 
+def test_ln_quant_kernel_matches_reference():
+    from leclip_tpu.models.transformer import layer_norm
+    from leclip_tpu.ops.quant_kernels import ln_quant
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 16, 64)) * 2.0
+    sc = jax.random.normal(jax.random.PRNGKey(8), (64,)) * 0.2 + 1.0
+    bi = jax.random.normal(jax.random.PRNGKey(9), (64,)) * 0.1
+    xi, s = ln_quant(x, sc, bi)
+    y_ref = np.asarray(layer_norm(x, sc, bi), np.float32)
+    recon = np.asarray(xi, np.float32) * np.asarray(s)
+    err = np.abs(recon - y_ref)
+    assert (err <= 0.5 * np.asarray(s) + 1e-5).all()
+
+
+def test_mlp_int8_kernel_matches_unfused():
+    from leclip_tpu.models.transformer import layer_norm, quick_gelu
+    from leclip_tpu.ops.quant import int8_matmul
+    from leclip_tpu.ops.quant_kernels import mlp_int8
+
+    d, hidden = 64, 256
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 8, d), jnp.float32)
+    sc, bi = jnp.ones((d,)), jnp.zeros((d,))
+    fc_w = jax.random.normal(jax.random.PRNGKey(11), (d, hidden)) * 0.05
+    fc_b = jax.random.normal(jax.random.PRNGKey(12), (hidden,)) * 0.05
+    pj_w = jax.random.normal(jax.random.PRNGKey(13), (hidden, d)) * 0.05
+    pj_b = jax.random.normal(jax.random.PRNGKey(14), (d,)) * 0.05
+    fc_i8, fc_s = quantize_weight(fc_w)
+    pj_i8, pj_s = quantize_weight(pj_w)
+
+    out = np.asarray(mlp_int8(
+        x, sc, bi, fc_i8, fc_s, fc_b, pj_i8, pj_s, pj_b
+    ), np.float32)
+
+    # unfused reference with the SAME quantization scheme (differences come
+    # only from where the activation quantization happens, which is identical)
+    y = layer_norm(x, sc, bi)
+    h = quick_gelu(int8_matmul(y, fc_i8, fc_s, bias=fc_b, out_dtype=jnp.float32))
+    ref = np.asarray(
+        x + int8_matmul(h, pj_i8, pj_s, bias=pj_b, out_dtype=jnp.float32),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
+
+
 def test_transformer_stack_int8_agrees():
     from leclip_tpu.models.transformer import init_block_stack, run_transformer
 
