@@ -225,7 +225,10 @@ def mlp_int8(
     hidden = fc_wi8.shape[1]
     # VMEM budget: weights int8 (d*4d*2 ~ 4.7 MB for ViT-B) + per-program
     # hidden int32/fp32 [g*t, 4d]; g=2 at t=200,d=768 keeps this ~7 MB.
-    g = _pick_group(b, (2, 1))
+    import os
+
+    g_env = os.environ.get("LECLIP_MLP_G", "")
+    g = int(g_env) if g_env else _pick_group(b, (2, 1))
     interpret = jax.default_backend() != "tpu"
     kern = functools.partial(_mlp_int8_kernel, eps=eps)
     spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0))

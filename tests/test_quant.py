@@ -95,6 +95,45 @@ def test_mlp_int8_kernel_matches_unfused():
     np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
 
 
+def test_attn_block_int8_kernel_matches_unfused():
+    from leclip_tpu.models.transformer import layer_norm
+    from leclip_tpu.ops.attention import attention_from_qkv
+    from leclip_tpu.ops.quant import int8_matmul
+    from leclip_tpu.ops.quant_kernels import attn_block_int8
+
+    d, heads, t = 64, 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, t, d), jnp.float32)
+    p = {
+        "qkv_kernel": jax.random.normal(jax.random.PRNGKey(21), (d, 3 * d)) * 0.05,
+        "qkv_bias": jax.random.normal(jax.random.PRNGKey(22), (3 * d,)) * 0.02,
+        "out_kernel": jax.random.normal(jax.random.PRNGKey(23), (d, d)) * 0.05,
+        "out_bias": jax.random.normal(jax.random.PRNGKey(24), (d,)) * 0.02,
+    }
+    sc, bi = jnp.ones((d,)), jnp.zeros((d,))
+    wi8, ws = quantize_weight(p["qkv_kernel"])
+
+    out = np.asarray(attn_block_int8(
+        x, sc, bi, wi8, ws, p["qkv_bias"], p["out_kernel"], p["out_bias"],
+        heads, kv_len=t - 2,
+    ), np.float32)
+
+    # unfused reference with the SAME int8 QKV quantization
+    y = layer_norm(x, sc, bi)
+    qkv = int8_matmul(y, wi8, ws, bias=p["qkv_bias"], out_dtype=jnp.float32)
+    ref = np.asarray(
+        x + attention_from_qkv(qkv, p, heads, impl="xla", kv_len=t - 2),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-2)
+    # pad-key masking active: perturbing a pad key must not change the output
+    x2 = x.at[:, t - 1].add(3.0)
+    out2 = np.asarray(attn_block_int8(
+        x2, sc, bi, wi8, ws, p["qkv_bias"], p["out_kernel"], p["out_bias"],
+        heads, kv_len=t - 2,
+    ), np.float32)
+    np.testing.assert_allclose(out[:, : t - 2], out2[:, : t - 2], atol=5e-3)
+
+
 def test_transformer_stack_int8_agrees():
     from leclip_tpu.models.transformer import init_block_stack, run_transformer
 
