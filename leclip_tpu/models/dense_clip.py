@@ -229,16 +229,30 @@ def retrieval_augment(
 
     Uses the TPU-native ``approx_max_k`` (exact ``top_k`` over a 220k-wide
     axis lowers to a full sort — orders of magnitude slower; the approximate
-    variant has ≥0.95 recall and the retrieval mean is insensitive to it)."""
-    sims = jnp.einsum(
-        "be,ne->bn", global_feat, caption_bank, preferred_element_type=jnp.float32
-    )
-    k_eff = min(topk, sims.shape[-1])
-    if exact or sims.shape[-1] <= 4096:
+    variant has ≥0.95 recall and the retrieval mean is insensitive to it).
+    The [B, N] similarity matrix is stored bf16 for the SEARCH (it dominates
+    HBM traffic: 2 GB fp32 at TTA batch sizes); the returned scores are then
+    recomputed exactly in fp32 for just the selected k rows, so score
+    precision matches the all-fp32 path."""
+    k_eff = min(topk, sims_n := caption_bank.shape[0])
+    if exact or sims_n <= 4096:
+        sims = jnp.einsum(
+            "be,ne->bn", global_feat, caption_bank,
+            preferred_element_type=jnp.float32,
+        )
         scores, idx = jax.lax.top_k(sims, k_eff)
+        selected = caption_bank[idx]  # [B, k_eff, E]
     else:
-        scores, idx = jax.lax.approx_max_k(sims, k_eff, recall_target=0.95)
-    selected = caption_bank[idx]  # [B, k_eff, E]
+        sims = jnp.einsum(
+            "be,ne->bn", global_feat, caption_bank,
+            preferred_element_type=jnp.bfloat16,
+        )
+        _, idx = jax.lax.approx_max_k(sims, k_eff, recall_target=0.95)
+        selected = caption_bank[idx]  # [B, k_eff, E]
+        scores = jnp.einsum(
+            "be,bke->bk", global_feat, selected,
+            preferred_element_type=jnp.float32,
+        )
     merged = (global_feat + selected.mean(axis=1).astype(global_feat.dtype)) / 2.0
     if k_eff < topk:  # tiny banks: keep the advertised [B, topk] shape
         scores = jnp.pad(scores, ((0, 0), (0, topk - k_eff)))

@@ -103,3 +103,26 @@ def test_retrieval_augment_matches_reference():
     got, scores = retrieval_augment(jnp.asarray(gf), jnp.asarray(bank), 10, exact=True)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(scores), topk_scores.numpy(), rtol=1e-5)
+
+
+def test_retrieval_augment_large_bank_rescored():
+    """Big-bank branch: bf16 search + exact fp32 rescore of the selected k —
+    returned scores must match the exact-fp32 path wherever the approximate
+    search picked the same captions (always on CPU, where approx == exact)."""
+    rng = np.random.default_rng(2)
+    gf = rng.normal(size=(3, E)).astype(np.float32)
+    gf /= np.linalg.norm(gf, axis=-1, keepdims=True)
+    bank = rng.normal(size=(5000, E)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+
+    from leclip_tpu.models.dense_clip import retrieval_augment
+
+    got_a, scores_a = retrieval_augment(jnp.asarray(gf), jnp.asarray(bank), 10)
+    got_e, scores_e = retrieval_augment(jnp.asarray(gf), jnp.asarray(bank), 10,
+                                        exact=True)
+    # scores are fp32 exact in both branches; the bf16 search may order
+    # near-ties differently, so compare as sorted sets with a bf16-level tol
+    np.testing.assert_allclose(
+        np.sort(np.asarray(scores_a)), np.sort(np.asarray(scores_e)), atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(got_e), atol=2e-2)
