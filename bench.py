@@ -2,9 +2,11 @@
 
 Measures the full production path — raw uint8 images → on-device crop
 pyramid (scales 2/3/4 → 304 crops + 1 global per image) → bicubic resize →
-CLIP normalise → ViT-B/16 image encoder (bf16) → dense + global prompt
-logits for a 6-member ensemble with retrieval augmentation — and reports
-224² crop-forwards/sec/chip.
+CLIP normalise → ViT-B/16 image encoder → dense + global prompt logits for
+a 6-member ensemble with retrieval augmentation — and reports 224²
+crop-forwards/sec/chip. The encoder runs the W8A8 int8 pallas-kernel path
+by default (BENCH_PREC=bf16 for the unquantized path; batch via
+BENCH_BATCH, default 8); the JSON line carries the precision used.
 
 Baseline: the reference does ≈9.8M crop-forwards in 10–12 h on an A40
 (≈250 crop-forwards/s; BASELINE.md "Implied reference throughput").
@@ -107,7 +109,7 @@ def main():
     engine.run_batch_fused(images)
     log("warmup done; timing")
 
-    iters = 10
+    iters = 20  # deep enough that the un-overlapped pipeline drain is noise
     t0 = time.perf_counter()
     for _ in engine.run_batches_fused([images] * iters, depth=2):
         pass
@@ -120,6 +122,8 @@ def main():
         "value": round(crops_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 2),
+        "precision": precision,
+        "batch_images": batch_images,
     }))
 
 

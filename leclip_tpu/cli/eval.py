@@ -71,6 +71,8 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
         else None
     )
     prec = cfg.TEST.PREC
+    if prec not in ("fp32", "bf16", "int8"):
+        raise ValueError(f"TEST.PREC must be fp32 | bf16 | int8, got {prec!r}")
     if prec == "int8" and not clip_cfg.is_vit:
         print("note: TEST.PREC int8 needs a ViT backbone — falling back to bf16")
         prec = "bf16"

@@ -94,6 +94,27 @@ class ModelSpec(NamedTuple):
     use_freq: Optional[bool] = None
 
 
+def _make_batch_crop_fn(impl: str, antialias: bool, size: int, shared: bool):
+    """Batch crop extractor: (imgs [B,H,W,C], boxes [B,n,4], content [B,2]) →
+    normalised crops [B,n,S,S,C]. When ``shared`` (every image in the batch
+    has the same content size — the common case under bucket-sorted
+    batching), the per-crop interpolation matrices are built once for the
+    whole batch instead of per image."""
+    if shared and impl == "matmul":
+        from ..ops.resize_matmul import crop_and_resize_matmul_batch
+
+        def batch_fn(imgs, boxes, content_hw):
+            crops = crop_and_resize_matmul_batch(
+                imgs, boxes[0], out_size=size, antialias=antialias,
+                content_hw=content_hw[0],
+            )
+            return clip_normalize(crops)
+
+        return batch_fn
+    one = _make_crop_fn(impl, antialias, size)
+    return jax.vmap(one)
+
+
 def _make_crop_fn(impl: str, antialias: bool, size: int):
     """Per-image crop extractor: (img [H,W,C], boxes [n,4], content (h,w)) →
     normalised crops. 'matmul' runs on the MXU with optional PIL-parity
@@ -241,8 +262,9 @@ class TTAEngine:
 
     # ------------------------- device programs ------------------------------
 
-    def _feature_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int):
-        key = (bucket, n_boxes, batch)
+    def _feature_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int,
+                    shared: bool = False):
+        key = (bucket, n_boxes, batch, shared)
         fn = self._feature_fn_cache.get(key)
         if fn is not None:
             return fn
@@ -256,13 +278,15 @@ class TTAEngine:
         # NOTE: clip params and the caption bank are jit ARGUMENTS, not
         # closures — closed-over arrays become HLO constants (hundreds of MB)
         # and wreck compile time, especially through a remote-compile tunnel.
-        one = _make_crop_fn(self.resize_impl, self.antialias, size)
+        crop_batch = _make_batch_crop_fn(
+            self.resize_impl, self.antialias, size, shared
+        )
 
         @jax.jit
         def feature_fn(clip_params, bank, images_u8: jnp.ndarray, boxes: jnp.ndarray,
                        content_hw: jnp.ndarray, q8=None):
             imgs = images_u8.astype(dtype) / 255.0
-            crops = jax.vmap(one)(imgs, boxes, content_hw)  # [B, n, S, S, 3]
+            crops = crop_batch(imgs, boxes, content_hw)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags, q8=q8)
             # retrieval is model-independent → run it once here, shared by
@@ -390,13 +414,23 @@ class TTAEngine:
         return (np.stack(padded), np.stack(boxes),
                 np.asarray(content, np.int32), bucket)
 
+    def _is_shared(self, content: np.ndarray) -> bool:
+        """True when every image in the batch has the same content size —
+        crop geometry (boxes + interpolation matrices) is then identical
+        across the batch and computed once. Mesh-sharded runs keep the
+        per-image path (the shared matrices would be broadcast, and a [0]
+        index on a batch-sharded operand forces a gather)."""
+        if self.mesh is not None:
+            return False
+        return bool((content == content[0]).all())
+
     def run_batch(self, images: Sequence[np.ndarray]) -> Dict[str, dict]:
         """Full TTA pass over a batch of decoded images → per-model raw
         score dict + shared retrieval sims."""
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
-        feature_fn = self._feature_fn(bucket, n, b)
+        feature_fn = self._feature_fn(bucket, n, b, shared=self._is_shared(content))
         bank = self.caption_bank
         if bank is None:
             # zero-size placeholder keeps the jit signature stable
@@ -447,7 +481,8 @@ class TTAEngine:
 
     # --------------------- fully-fused single-dispatch path ------------------
 
-    def _fused_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int):
+    def _fused_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int,
+                  shared: bool = False):
         """ONE jitted program: crops → encoder → all ensemble members →
         block fusion (fuse/fuse6) → per-class routing → fused [B, C] scores.
 
@@ -456,7 +491,7 @@ class TTAEngine:
         np.asarray of `run_batch` costs ~10 round trips per batch. This path
         is one dispatch and one [B, C] transfer — the production fast path
         when per-model dumps aren't requested."""
-        key = ("fused", bucket, n_boxes, batch)
+        key = ("fused", bucket, n_boxes, batch, shared)
         fn = self._feature_fn_cache.get(key)
         if fn is not None:
             return fn
@@ -474,13 +509,15 @@ class TTAEngine:
         coef = 1.5
         b = batch
 
-        one = _make_crop_fn(self.resize_impl, self.antialias, size)
+        crop_batch = _make_batch_crop_fn(
+            self.resize_impl, self.antialias, size, shared
+        )
 
         @jax.jit
         def fused_fn(clip_params, bank, images_u8, boxes, content_hw,
                      group_trs, group_tfs, routing_r, cooc, q8=None):
             imgs = images_u8.astype(dtype) / 255.0
-            crops = jax.vmap(one)(imgs, boxes, content_hw)
+            crops = crop_batch(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
             if has_bank:
@@ -543,7 +580,7 @@ class TTAEngine:
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
-        fn = self._fused_fn(bucket, n, b)
+        fn = self._fused_fn(bucket, n, b, shared=self._is_shared(content))
         groups = self._model_groups()
         bank = self.caption_bank
         if bank is None:

@@ -42,7 +42,12 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
     residual) as one pallas kernel with the hidden activations VMEM-resident.
     Attention core and its output projection stay bf16; softmax/LN stats fp32.
     """
-    if q8 is not None and mask is None:
+    if q8 is not None:
+        if mask is not None:
+            raise ValueError(
+                "int8 (q8) blocks support only unmasked self-attention — the "
+                "causal text tower must run the bf16 path"
+            )
         from ..ops.quant_kernels import attn_block_int8, mlp_int8
 
         x = attn_block_int8(
@@ -58,17 +63,11 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
         )
     y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
     x = x + multi_head_attention(
-        y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len,
-        q8=None if q8 is None else q8["attn"],
+        y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len
     )
     y = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
-    if q8 is None:
-        h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
-        return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
-    from ..ops.quant import int8_matmul
-
-    h = quick_gelu(int8_matmul(y, *q8["mlp"]["fc"], bias=p["mlp"]["fc_bias"]))
-    return x + int8_matmul(h, *q8["mlp"]["proj"], bias=p["mlp"]["proj_bias"])
+    h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
+    return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
 
 
 def run_transformer(

@@ -100,7 +100,6 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     kv_len: Optional[int] = None,
-    q8: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Self-attention over [B, T, D] with packed-QKV parameters.
 
@@ -110,16 +109,10 @@ def multi_head_attention(
     pad T up to a tile-friendly length (the ViT encoder pads 197→200) mask the
     pad keys here; pad QUERY rows compute garbage the caller slices off.
 
-    ``q8`` (optional): {'qkv': (w_i8, s_w), ...} int8 kernel for the QKV
-    projection (W8A8 inference path, ops/quant.py); the attention core and
-    the output projection stay bf16.
+    (The W8A8 int8 path does not come through here — it uses the fused
+    ``attn_block_int8`` pallas kernel, ops/quant_kernels.py.)
     """
-    if q8 is not None:
-        from .quant import int8_matmul
-
-        qkv = int8_matmul(x, *q8["qkv"], bias=params["qkv_bias"])
-    else:
-        qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+    qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
     return attention_from_qkv(
         qkv, params, n_heads, mask=mask, impl=impl, kv_len=kv_len
     )
@@ -151,10 +144,6 @@ def attention_from_qkv(
             impl = "resident"
         else:
             impl = "pallas" if (on_tpu and t >= _PALLAS_MIN_SEQ) else "xla"
-    # out projection stays bf16 even under q8: its input (the attention mix)
-    # is bf16 in HBM, so dynamic quantization costs a full extra pass (~1.2 ms
-    # at TTA shape) to save only ~0.6 ms of matmul — a measured net loss
-    # (scripts/probe_perf.py).
     def out_proj(out):
         return out @ params["out_kernel"] + params["out_bias"]
 

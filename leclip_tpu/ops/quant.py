@@ -109,10 +109,12 @@ def quantize_block_stack(blocks: dict) -> dict:
         return jax.vmap(quantize_weight)(stacked_kernel)
 
     qkv_i8, qkv_s = q(blocks["attn"]["qkv_kernel"])
-    out_i8, out_s = q(blocks["attn"]["out_kernel"])
     fc_i8, fc_s = q(blocks["mlp"]["fc_kernel"])
     proj_i8, proj_s = q(blocks["mlp"]["proj_kernel"])
+    # the attention OUT projection is deliberately not quantized: its input
+    # is the bf16 attention mix, and dynamically quantizing it costs more
+    # HBM traffic than the int8 matmul saves (measured, scripts/probe_perf.py)
     return {
-        "attn": {"qkv": (qkv_i8, qkv_s), "out": (out_i8, out_s)},
+        "attn": {"qkv": (qkv_i8, qkv_s)},
         "mlp": {"fc": (fc_i8, fc_s), "proj": (proj_i8, proj_s)},
     }

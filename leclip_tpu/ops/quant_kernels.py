@@ -34,6 +34,19 @@ def _pick_group(b: int, candidates=(8, 4, 2, 1)) -> int:
     return next(g for g in candidates if b % g == 0)
 
 
+def _pick_group_budget(b: int, elems_per_unit: int, budget_elems: int,
+                       candidates=(8, 4, 2, 1)) -> int:
+    """Largest group that divides ``b`` AND keeps the kernel's dominant
+    per-program buffer (``g * elems_per_unit`` elements) inside the measured
+    VMEM budget. Anchored on v5e measurements for ViT-B shapes; larger
+    geometries (ViT-L) automatically step the group down instead of failing
+    pallas VMEM allocation at compile time."""
+    for g in candidates:
+        if b % g == 0 and g * elems_per_unit <= budget_elems:
+            return g
+    return 1
+
+
 # --------------------------- LayerNorm + quantize ---------------------------
 
 
@@ -153,7 +166,9 @@ def attn_block_int8(
     b, t, d = x.shape
     if kv_len is None:
         kv_len = t
-    g = _pick_group(b, (4, 2, 1))
+    # dominant buffer: the fp32 qkv block, g·t·3d elems (ViT-B t=200 d=768:
+    # g=4 → 1.84M elems, measured fine; budget 2.0M steps ViT-L down to g=2)
+    g = _pick_group_budget(b, t * 3 * d, 2_000_000, (4, 2, 1))
     interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
         _attn_block_kernel, n_heads=n_heads, kv_len=kv_len, eps=eps
@@ -223,12 +238,10 @@ def mlp_int8(
     [rows, 4D] activations never leave VMEM."""
     b, t, d = x.shape
     hidden = fc_wi8.shape[1]
-    # VMEM budget: weights int8 (d*4d*2 ~ 4.7 MB for ViT-B) + per-program
-    # hidden int32/fp32 [g*t, 4d]; g=2 at t=200,d=768 keeps this ~7 MB.
-    import os
-
-    g_env = os.environ.get("LECLIP_MLP_G", "")
-    g = int(g_env) if g_env else _pick_group(b, (2, 1))
+    # dominant buffer: the int32/fp32 hidden block, g·t·hidden elems (ViT-B
+    # t=200 hidden=3072: g=2 → 1.23M elems, measured fine/fastest; g=4
+    # exceeds VMEM at compile — budget 1.6M also steps ViT-L down to g=1)
+    g = _pick_group_budget(b, t * hidden, 1_600_000, (2, 1))
     interpret = jax.default_backend() != "tpu"
     kern = functools.partial(_mlp_int8_kernel, eps=eps)
     spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0))

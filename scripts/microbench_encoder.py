@@ -17,31 +17,13 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench import chain as _chain, measure as _measure
 from leclip_tpu.models.clip import PRESETS, init_clip_params
 from leclip_tpu.models.vit import encode_image_vit
 
 B = 1220
-
-
-def chain(f, args, n):
-    @jax.jit
-    def prog(*a):
-        def body(i, s):
-            out = f(a[0] + s.astype(a[0].dtype), *a[1:])
-            return s + 1e-6 * out.mean().astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    return prog
-
-
-def measure(label, f, args, n=4):
-    p1, p3 = chain(f, args, n), chain(f, args, 3 * n)
-    r = p1(*args); np.asarray(r)
-    r = p3(*args); np.asarray(r)
-    t0 = time.perf_counter(); r = p1(*args); np.asarray(r); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); r = p3(*args); np.asarray(r); t3 = time.perf_counter() - t0
-    per = (t3 - t1) / (2 * n)
-    print(f"{label:<42} {per * 1e3:8.2f} ms  ({B / per:.0f} crops/s)", flush=True)
-    return per
 
 
 def main():
@@ -50,10 +32,10 @@ def main():
     params = init_fn(jax.random.PRNGKey(0))["visual"]
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 224, 224, 3), jnp.bfloat16)
 
-    measure("encoder auto (resident kernel)",
+    _measure("encoder auto (resident kernel)",
             lambda im, p: encode_image_vit(im, p, 12, 16, dense=True)[1],
             (x, params))
-    measure("encoder impl=xla (old path)",
+    _measure("encoder impl=xla (old path)",
             lambda im, p: encode_image_vit(im, p, 12, 16, dense=True, impl="xla")[1],
             (x, params))
 

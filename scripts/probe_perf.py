@@ -9,6 +9,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
@@ -18,29 +19,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from _bench import measure
+
 M = 1220 * 200  # crops x padded tokens
 D = 768
-
-
-def chain(f, args, n):
-    @jax.jit
-    def prog(*a):
-        def body(i, s):
-            out = f(a[0] + s.astype(a[0].dtype), *a[1:])
-            return s + 1e-6 * jnp.asarray(out, jnp.float32).mean()
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    return prog
-
-
-def measure(label, f, args, n=4, flops=None):
-    p1, p3 = chain(f, args, n), chain(f, args, 3 * n)
-    np.asarray(p1(*args)); np.asarray(p3(*args))
-    t0 = time.perf_counter(); np.asarray(p1(*args)); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); np.asarray(p3(*args)); t3 = time.perf_counter() - t0
-    per = (t3 - t1) / (2 * n)
-    extra = f"  {flops / per / 1e12:7.1f} T/s" if flops else ""
-    print(f"{label:<46} {per * 1e3:8.2f} ms{extra}", flush=True)
-    return per
 
 
 def main():

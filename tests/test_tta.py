@@ -56,6 +56,23 @@ def test_pick_and_pad_bucket():
     assert (p[:h, :w] == 9).all() and (p[:, w:] == 0).all()
 
 
+def test_shared_geometry_matches_per_image(setup):
+    """Uniform-size batches take the shared-matrix crop path; scores must
+    match the per-image (mixed-size) path exactly up to dtype rounding."""
+    clip_params, specs = setup
+    engine = TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+    rng = np.random.default_rng(0)
+    same = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8) for _ in range(3)]
+    out_shared = engine.run_batch_fused(same)
+    assert ("fused", (256, 256), engine.n_blocks + 1, 3, True) in engine._feature_fn_cache
+    # force the per-image path by adding one differently-sized image, then
+    # compare the first three rows
+    mixed = same + [rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)]
+    out_mixed = engine.run_batch_fused(mixed)
+    assert ("fused", (256, 256), engine.n_blocks + 1, 4, False) in engine._feature_fn_cache
+    np.testing.assert_allclose(out_shared, out_mixed[:3], rtol=2e-2, atol=2e-2)
+
+
 def test_engine_run_batch(setup):
     clip_params, specs = setup
     engine = TTAEngine(
