@@ -240,6 +240,18 @@ class TTAEngine:
             raise ValueError(f"unknown precision {precision!r}")
         if precision == "int8" and not clip_cfg.is_vit:
             raise ValueError("precision='int8' currently supports ViT backbones only")
+        if (
+            precision == "int8"
+            and jax.default_backend() == "tpu"
+            and clip_cfg.vision_width % 128 != 0
+        ):
+            # Mosaic int8 matmuls need the contraction dim in full 128-lane
+            # tiles; real CLIP ViTs (768/1024/1280) all qualify — only toy
+            # geometries hit this (CPU interpret mode accepts any width)
+            raise ValueError(
+                f"precision='int8' on TPU needs vision_width % 128 == 0 "
+                f"(got {clip_cfg.vision_width})"
+            )
         self.precision = precision
         self._q8 = None
         if precision == "int8":

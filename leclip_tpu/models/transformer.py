@@ -50,14 +50,16 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
             )
         from ..ops.quant_kernels import attn_block_int8, mlp_int8
 
+        # q8's ln1/ln2 are the channel-equilibrated LN affines (quant.py
+        # _equilibrate) — they REPLACE p's, paired with the rescaled kernels
         x = attn_block_int8(
-            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            x, *q8["ln1"],
             *q8["attn"]["qkv"], p["attn"]["qkv_bias"],
             p["attn"]["out_kernel"], p["attn"]["out_bias"],
             n_heads, kv_len=kv_len,
         )
         return mlp_int8(
-            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+            x, *q8["ln2"],
             *q8["mlp"]["fc"], p["mlp"]["fc_bias"],
             *q8["mlp"]["proj"], p["mlp"]["proj_bias"],
         )

@@ -227,7 +227,16 @@ def _resident_fwd(q, k, v, n_heads: int, kv_len: Optional[int]):
     b, t, w = q.shape
     if kv_len is None:
         kv_len = t
-    group = next(g for g in (4, 2, 1) if b % g == 0)
+    # VMEM-budget group selection: dominant buffers are the four [g, t, w]
+    # bf16 blocks (q/k/v/o, 8·g·t·w bytes) plus the per-head fp32 score and
+    # iota blocks (~12·g·t² bytes). ViT-B (t=200, w=768) fits g=4; ViT-L
+    # (t=264, w=1024) at g=4 exceeds the 16 MB scoped-vmem limit (measured:
+    # 16.5 MB) and must step down to g=2.
+    group = next(
+        (g for g in (4, 2, 1)
+         if b % g == 0 and g * (8 * t * w + 12 * t * t) <= 11_000_000),
+        1,
+    )
     interpret = jax.default_backend() != "tpu"
     out = _resident_call(q, k, v, n_heads, kv_len, group, interpret)
     return out, (q, k, v)

@@ -99,22 +99,57 @@ def int8_matmul_prequant(
     return y.astype(out_dtype)
 
 
+def _equilibrate(ln_scale, ln_bias, kernel):
+    """SmoothQuant-style channel equilibration (exact in fp): divide the
+    LN-output channel c by m_c and multiply the following kernel's input row
+    c by m_c, with m_c = sqrt(|gain_c| / mean|gain|). Real CLIP ViTs carry a
+    few high-magnitude LN channels; per-token activation quantization sets
+    the whole row's scale from the outlier, crushing every other channel.
+    The sqrt split (alpha = 0.5) shares the outlier between the activation
+    and weight quantizers."""
+    g = ln_scale.astype(jnp.float32)
+    m = jnp.sqrt(
+        jnp.maximum(jnp.abs(g), 1e-6)
+        / jnp.maximum(jnp.mean(jnp.abs(g), axis=-1, keepdims=True), 1e-6)
+    )
+    m = jnp.clip(m, 1e-2, 1e4)
+    ln_q = (
+        (g / m).astype(ln_scale.dtype),
+        (ln_bias.astype(jnp.float32) / m).astype(ln_bias.dtype),
+    )
+    return ln_q, kernel * m[..., None].astype(kernel.dtype)
+
+
 def quantize_block_stack(blocks: dict) -> dict:
     """Quantize a stacked transformer block pytree (leading layer axis) into
     int8 kernels + fp32 scales; layout mirrors the bf16 stack so the scan in
-    run_transformer can carry it alongside."""
+    run_transformer can carry it alongside.
+
+    The two LN→matmul boundaries (ln_1→qkv, ln_2→fc) are channel-
+    equilibrated (see :func:`_equilibrate`) — the returned ``ln1``/``ln2``
+    entries REPLACE the block's own LN affine parameters in the int8 path.
+    The attention OUT projection is deliberately not quantized: its input is
+    the bf16 attention mix, and dynamically quantizing it costs more HBM
+    traffic than the int8 matmul saves (measured, scripts/probe_perf.py)."""
 
     def q(stacked_kernel):
         # vmap over the layer axis so scales are per-layer, per-channel
         return jax.vmap(quantize_weight)(stacked_kernel)
 
-    qkv_i8, qkv_s = q(blocks["attn"]["qkv_kernel"])
-    fc_i8, fc_s = q(blocks["mlp"]["fc_kernel"])
+    ln1, qkv_eq = _equilibrate(
+        blocks["ln_1"]["scale"], blocks["ln_1"]["bias"],
+        blocks["attn"]["qkv_kernel"],
+    )
+    ln2, fc_eq = _equilibrate(
+        blocks["ln_2"]["scale"], blocks["ln_2"]["bias"],
+        blocks["mlp"]["fc_kernel"],
+    )
+    qkv_i8, qkv_s = q(qkv_eq)
+    fc_i8, fc_s = q(fc_eq)
     proj_i8, proj_s = q(blocks["mlp"]["proj_kernel"])
-    # the attention OUT projection is deliberately not quantized: its input
-    # is the bf16 attention mix, and dynamically quantizing it costs more
-    # HBM traffic than the int8 matmul saves (measured, scripts/probe_perf.py)
     return {
+        "ln1": ln1,
+        "ln2": ln2,
         "attn": {"qkv": (qkv_i8, qkv_s)},
         "mlp": {"fc": (fc_i8, fc_s), "proj": (proj_i8, proj_s)},
     }

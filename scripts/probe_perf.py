@@ -33,6 +33,9 @@ def main():
     if os.environ.get("PROBE_LAYER_PARTS", "") == "1":
         layer_parts_section(k)
         return
+    if os.environ.get("PROBE_VITL", "") == "1":
+        vitl_section(k)
+        return
     x = jax.random.normal(k, (M, D), jnp.bfloat16)
     w1 = jax.random.normal(k, (D, 4 * D), jnp.bfloat16) * 0.02
     w2 = jax.random.normal(k, (4 * D, D), jnp.bfloat16) * 0.02
@@ -158,6 +161,28 @@ def layer_parts_section(k):
     measure("full residual block bf16",
             lambda a: residual_block(a, layer, 12, kv_len=197),
             (x,))
+
+
+def vitl_section(k):
+    """ViT-L/14 int8 vs bf16 — validates the VMEM-budget group stepping
+    (d=1024, t=257→264: attn kernel must pick g=2, mlp g=1) on hardware."""
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.models.vit import encode_image_vit
+    from leclip_tpu.ops.quant import quantize_block_stack
+
+    cfg = PRESETS["ViT-L/14"]
+    init_fn = jax.jit(lambda key: init_clip_params(key, cfg, dtype=jnp.bfloat16))
+    params = init_fn(jax.random.PRNGKey(0))["visual"]
+    q8 = jax.jit(quantize_block_stack)(params["blocks"])
+    B = 256
+    xim = jax.random.normal(k, (B, 224, 224, 3), jnp.bfloat16)
+    measure(f"ViT-L/14 encoder bf16 [{B} crops]",
+            lambda im, p: encode_image_vit(im, p, cfg.vision_heads, 14, dense=True)[1],
+            (xim, params), n=2)
+    measure(f"ViT-L/14 encoder int8 [{B} crops]",
+            lambda im, p, q: encode_image_vit(
+                im, p, cfg.vision_heads, 14, dense=True, q8=q)[1],
+            (xim, params, q8), n=2)
 
 
 def encoder_section(k):

@@ -177,6 +177,31 @@ def test_tta_engine_int8_end_to_end():
     assert c > 0.99, c
 
 
+def test_transformer_stack_int8_with_outlier_channels():
+    """Real CLIP ViTs carry a few high-magnitude LN-output channels — the
+    known stress case for per-token activation quantization (the whole row's
+    scale is set by the outlier). The channel equilibration in
+    quantize_block_stack (quant.py _equilibrate) migrates outlier magnitude
+    into the weights; measured min per-token cosine vs bf16 on this fixture:
+    10x outliers 0.9945 -> 0.9976, 50x outliers 0.7618 -> 0.9381
+    (no-equil -> equil). Thresholds pin those improvements."""
+    from leclip_tpu.models.transformer import init_block_stack, run_transformer
+
+    x = jax.random.normal(jax.random.PRNGKey(31), (4, 16, 64))
+    for mult, floor in ((10.0, 0.99), (50.0, 0.90)):
+        blocks = init_block_stack(jax.random.PRNGKey(30), 3, 64)
+        gain = np.ones((3, 64), np.float32)
+        gain[:, [5, 17, 42]] = mult
+        blocks["ln_1"]["scale"] = blocks["ln_1"]["scale"] * gain
+        blocks["ln_2"]["scale"] = blocks["ln_2"]["scale"] * gain
+        q8 = quantize_block_stack(blocks)
+        ref = np.asarray(run_transformer(x, blocks, 2), np.float32)
+        out = np.asarray(run_transformer(x, blocks, 2, q8=q8), np.float32)
+        num = (ref * out).sum(-1)
+        den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+        assert (num / den > floor).all(), (mult, float((num / den).min()))
+
+
 def test_int8_rejects_resnet():
     from leclip_tpu.inference.tta import TTAEngine
     from leclip_tpu.models.clip import PRESETS, init_clip_params
