@@ -584,15 +584,23 @@ class TTAEngine:
         impreds.json numbers), everything on device."""
         return np.asarray(self.dispatch_batch_fused(images), np.float32)
 
-    def dispatch_batch_fused(self, images: Sequence[np.ndarray]):
-        """Async variant of run_batch_fused: returns the on-device fused
-        result WITHOUT synchronising. Read with np.asarray(...) later —
-        dispatching the next batch first overlaps its host→device transfer
-        with this batch's compute (double buffering)."""
+    def stage_batch_fused(self, images: Sequence[np.ndarray]):
+        """Host prep + device upload for one fused batch, WITHOUT dispatching
+        compute. Returns an opaque staged tuple for dispatch_staged_fused —
+        lets a producer thread (or a benchmark) stage batches ahead so the
+        host→device transfer never sits on the compute critical path."""
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
-        fn = self._fused_fn(bucket, n, b, shared=self._is_shared(content))
+        shared = self._is_shared(content)
+        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        return (bucket, n, b, shared, im_d, bx_d, ct_d, b0)
+
+    def dispatch_staged_fused(self, staged):
+        """Dispatch the fused program on a staged batch; returns the
+        on-device [B, C] result without synchronising."""
+        bucket, n, b, shared, im_d, bx_d, ct_d, b0 = staged
+        fn = self._fused_fn(bucket, n, b, shared=shared)
         groups = self._model_groups()
         bank = self.caption_bank
         if bank is None:
@@ -601,13 +609,19 @@ class TTAEngine:
         if cooc is None:
             n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
             cooc = self._replicated(jnp.zeros((n_cls, n_cls), jnp.float32))
-        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
         out = fn(
             self.clip_params, bank, im_d, bx_d, ct_d,
             tuple(g[3] for g in groups), tuple(g[4] for g in groups),
             self._fused_routing, cooc, q8=self._q8,
         )
         return out if b0 == b else out[:b0]
+
+    def dispatch_batch_fused(self, images: Sequence[np.ndarray]):
+        """Async variant of run_batch_fused: returns the on-device fused
+        result WITHOUT synchronising. Read with np.asarray(...) later —
+        dispatching the next batch first overlaps its host→device transfer
+        with this batch's compute (double buffering)."""
+        return self.dispatch_staged_fused(self.stage_batch_fused(images))
 
     def run_batches_fused(self, batches, depth: int = 2):
         """Pipelined fused scoring over an iterable of image lists; yields
