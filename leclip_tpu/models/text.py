@@ -50,14 +50,18 @@ def _backbone(
     impl: str = "auto",
     remat: bool = False,
     adapter: dict = None,
+    q8: dict = None,
 ) -> jnp.ndarray:
     """Embeddings [N, L, W] → post-ln_final features [N, L, W]. ``adapter``
     inserts a residual bottleneck over the transformer output before ln_final
-    (the AdapterTextEncoder variant, ref Caption_distill_double_adapter.py:99-112)."""
+    (the AdapterTextEncoder variant, ref Caption_distill_double_adapter.py:99-112).
+    ``q8``: optional stacked int8 block weights (ops/quant.py) — the W8A8
+    causal-attention inference path (not differentiable; eval-side only)."""
     ctx_len = x.shape[1]
     x = x + params["positional_embedding"][:ctx_len].astype(x.dtype)
     x = run_transformer(
-        x, params["blocks"], n_heads, mask=causal_mask(ctx_len), impl=impl, remat=remat
+        x, params["blocks"], n_heads, mask=causal_mask(ctx_len), impl=impl,
+        remat=remat, q8=q8, causal=True,
     )
     if adapter is not None:
         from .adapter import apply_adapter
@@ -73,10 +77,12 @@ def encode_text_sequence(
     impl: str = "auto",
     remat: bool = False,
     adapter: dict = None,
+    q8: dict = None,
 ) -> jnp.ndarray:
     """All projected token features [N, L, E] — the text-as-image regime where
     every position acts as a spatial feature (ref Caption_distill_double.py:94-96)."""
-    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat, adapter=adapter)
+    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat,
+                  adapter=adapter, q8=q8)
     return x @ params["text_projection"].astype(x.dtype)
 
 
@@ -88,10 +94,12 @@ def encode_text_embeds(
     impl: str = "auto",
     remat: bool = False,
     adapter: dict = None,
+    q8: dict = None,
 ) -> jnp.ndarray:
     """EOT-position features [N, E] from pre-built embeddings; ``eot_idx`` is
     tokens.argmax(-1) — EOT has the highest token id by construction."""
-    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat, adapter=adapter)
+    x = _backbone(params, embeds, n_heads, impl=impl, remat=remat,
+                  adapter=adapter, q8=q8)
     eot = jnp.take_along_axis(x, eot_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return eot @ params["text_projection"].astype(x.dtype)
 
@@ -103,11 +111,14 @@ def encode_text(
     impl: str = "auto",
     remat: bool = False,
     sequence: bool = False,
+    q8: dict = None,
 ) -> jnp.ndarray:
     """Token ids [N, L] → EOT feature [N, E] (or all positions if sequence)."""
     embeds = embed_tokens(params, tokens)
     if sequence:
-        return encode_text_sequence(params, embeds, n_heads, impl=impl, remat=remat)
+        return encode_text_sequence(
+            params, embeds, n_heads, impl=impl, remat=remat, q8=q8
+        )
     return encode_text_embeds(
-        params, embeds, tokens.argmax(-1), n_heads, impl=impl, remat=remat
+        params, embeds, tokens.argmax(-1), n_heads, impl=impl, remat=remat, q8=q8
     )

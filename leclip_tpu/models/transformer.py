@@ -33,7 +33,8 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
-                   impl: str = "auto", kv_len=None, q8=None):
+                   impl: str = "auto", kv_len=None, q8=None,
+                   causal: bool = False):
     """One pre-LN residual attention block over [B, T, D].
 
     ``q8`` (optional) enables the W8A8 inference fast path (ops/quant.py +
@@ -43,10 +44,10 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
     Attention core and its output projection stay bf16; softmax/LN stats fp32.
     """
     if q8 is not None:
-        if mask is not None:
+        if mask is not None and not causal:
             raise ValueError(
-                "int8 (q8) blocks support only unmasked self-attention — the "
-                "causal text tower must run the bf16 path"
+                "int8 (q8) blocks support unmasked or causal self-attention "
+                "only; arbitrary additive masks must run the bf16 path"
             )
         from ..ops.quant_kernels import attn_block_int8, mlp_int8
 
@@ -56,7 +57,7 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
             x, *q8["ln1"],
             *q8["attn"]["qkv"], p["attn"]["qkv_bias"],
             p["attn"]["out_kernel"], p["attn"]["out_bias"],
-            n_heads, kv_len=kv_len,
+            n_heads, kv_len=kv_len, causal=causal,
         )
         return mlp_int8(
             x, *q8["ln2"],
@@ -81,18 +82,21 @@ def run_transformer(
     remat: bool = False,
     kv_len: Optional[int] = None,
     q8: Optional[dict] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Apply L stacked residual blocks via lax.scan. ``stacked`` leaves have a
     leading layer axis; ``remat`` enables rematerialisation for memory-bound
     training regimes; ``kv_len`` masks trailing pad keys (see
     multi_head_attention); ``q8`` is an optional stacked int8 weight pytree
-    (ops/quant.py quantize_block_stack) scanned alongside ``stacked``."""
+    (ops/quant.py quantize_block_stack) scanned alongside ``stacked``;
+    ``causal`` marks ``mask`` as the standard lower-triangular mask so the
+    int8 kernel path can apply it natively."""
 
     def body(h, xs):
         layer_params, layer_q8 = xs
         return residual_block(
             h, layer_params, n_heads, mask=mask, impl=impl, kv_len=kv_len,
-            q8=layer_q8,
+            q8=layer_q8, causal=causal,
         ), None
 
     if remat:

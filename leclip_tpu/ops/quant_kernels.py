@@ -94,7 +94,8 @@ def ln_quant(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvs_ref, qkvb_ref,
-                       outw_ref, outb_ref, o_ref, *, n_heads, kv_len, eps):
+                       outw_ref, outb_ref, o_ref, *, n_heads, kv_len, causal,
+                       eps):
     """Whole pre-LN attention sub-block in VMEM: LN -> int8 quant -> int8 QKV
     matmul -> rescale -> per-head attention (scores never leave VMEM, softmax
     denominator via the appended ones-column) -> bf16 out-proj -> residual."""
@@ -118,10 +119,14 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, qkvw_ref, qkvs_ref, qkvb_ref,
     ) + qkvb_ref[:].astype(jnp.float32)[None]
     qkv = qkv.astype(x.dtype).reshape(g, t, 3 * d)
 
-    # additive pad-key bias computed ONCE (exp(-1e30 - m) == 0 exactly), not
-    # two where-selects per head
+    # additive pad-key (+ causal) bias computed ONCE (exp(-1e30 - m) == 0
+    # exactly), not two where-selects per head
     col = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 2)
-    kbias = jnp.where(col < kv_len, 0.0, -1e30).astype(jnp.float32)
+    valid = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 1)
+        valid = valid & (col <= row)
+    kbias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
     scale = dh**-0.5
     ones = jnp.ones((g, t, 1), x.dtype)
     att_heads = []
@@ -160,9 +165,12 @@ def attn_block_int8(
     out_w: jnp.ndarray, out_b: jnp.ndarray,
     n_heads: int,
     kv_len: int = None,
+    causal: bool = False,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """x + OutProj(Attention(int8 QKV(LN(x)))) over [B, T, D], one kernel."""
+    """x + OutProj(Attention(int8 QKV(LN(x)))) over [B, T, D], one kernel.
+    ``causal`` adds the text tower's lower-triangular mask to the pad-key
+    bias (same -1e30 additive form)."""
     b, t, d = x.shape
     if kv_len is None:
         kv_len = t
@@ -171,7 +179,8 @@ def attn_block_int8(
     g = _pick_group_budget(b, t * 3 * d, 2_000_000, (4, 2, 1))
     interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
-        _attn_block_kernel, n_heads=n_heads, kv_len=kv_len, eps=eps
+        _attn_block_kernel, n_heads=n_heads, kv_len=kv_len, causal=causal,
+        eps=eps,
     )
     spec = pl.BlockSpec((g, t, d), lambda i: (i, 0, 0))
     vec_d = pl.BlockSpec((d,), lambda i: (0,))

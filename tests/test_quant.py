@@ -202,6 +202,57 @@ def test_transformer_stack_int8_with_outlier_channels():
         assert (num / den > floor).all(), (mult, float((num / den).min()))
 
 
+def test_text_tower_int8_causal_agrees():
+    """Causal-attention int8 path (text tower): EOT features from the W8A8
+    kernels must track the bf16 tower, and causality must hold — a pad-token
+    change after a caption's EOT cannot affect its feature."""
+    from leclip_tpu.data.tokenizer import tokenize
+    from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+    from leclip_tpu.models.text import encode_text
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=64, vision_layers=2, vision_width=64,
+        vision_patch_size=16, transformer_width=64, transformer_heads=2,
+        transformer_layers=3,
+    )
+    params = init_clip_params(jax.random.PRNGKey(40), cfg)["text"]
+    q8 = quantize_block_stack(params["blocks"])
+    toks = np.asarray(tokenize([
+        "a dog and a cat", "pizza on a dining table", "a person on a bench",
+        "two giraffes",
+    ]))
+    ref = np.asarray(encode_text(params, jnp.asarray(toks), 2), np.float32)
+    out = np.asarray(encode_text(params, jnp.asarray(toks), 2, q8=q8), np.float32)
+    num = (ref * out).sum(-1)
+    den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+    assert (num / den > 0.995).all(), (num / den).min()
+    # causality: flip the LAST pad position's token id (beyond every EOT);
+    # argmax(EOT id) is unchanged and features must be identical
+    toks2 = toks.copy()
+    toks2[:, -1] = 7
+    out2 = np.asarray(encode_text(params, jnp.asarray(toks2), 2, q8=q8), np.float32)
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_caption_bank_int8():
+    from leclip_tpu.data.tokenizer import tokenize
+    from leclip_tpu.inference.pipeline import build_caption_bank
+    from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=64, vision_layers=2, vision_width=64,
+        vision_patch_size=16, transformer_width=64, transformer_heads=2,
+        transformer_layers=2,
+    )
+    params = init_clip_params(jax.random.PRNGKey(41), cfg)
+    toks = np.asarray(tokenize(["a dog", "a cat", "a pizza"] * 3))
+    ref = build_caption_bank(params, cfg, toks, batch_size=4)
+    out = build_caption_bank(params, cfg, toks, batch_size=4, precision="int8")
+    assert out.shape == ref.shape
+    cos = (ref * out).sum(-1)
+    assert (cos > 0.995).all(), cos.min()  # rows are L2-normalised
+
+
 def test_int8_rejects_resnet():
     from leclip_tpu.inference.tta import TTAEngine
     from leclip_tpu.models.clip import PRESETS, init_clip_params
