@@ -101,6 +101,8 @@ class TrainConfig:
     spatial_SCALE_image: float = 40.0
     LMPT: bool = False
     LMPT_LAMBDA: float = 0.5
+    int8_captions: bool = False  # W8A8 text tower for the frozen caption
+                                 # branch (~1.5x); prompt branch stays fp
     # Hold out every Nth training caption as a LABELED accuracy probe
     # (0 = off). The competition val split is unlabeled (mAP always 0), so
     # this held-out texts-as-images split is the only way a training run can

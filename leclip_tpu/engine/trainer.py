@@ -76,8 +76,13 @@ def make_train_step(
     m_ctx: int = 2,
     adapter: Optional[dict] = None,
     adapter_trainable: bool = False,
+    caption_q8: Optional[dict] = None,
 ):
-    """Build the jitted (state, captions, labels) → (state, metrics) step."""
+    """Build the jitted (state, captions, labels) → (state, metrics) step.
+
+    ``caption_q8``: int8 text-tower weights for the FROZEN caption branch
+    (TRAIN.int8_captions) — ~1.5× faster caption encoding; the prompt branch
+    keeps full precision (gradients flow through it)."""
 
     def head(params, caption_feats, clip_p):
         # adapter variant: the adapter rides the prompt path only; when
@@ -133,11 +138,11 @@ def make_train_step(
         aux["loss"] = loss
         return loss, aux
 
-    # clip params enter as an argument (closed-over arrays become HLO
-    # constants — enormous compile-time cost on big towers)
-    @partial(jax.jit, donate_argnums=(1,))
-    def _step(clip_p, state: TrainState, captions: jnp.ndarray, labels: jnp.ndarray):
-        caption_feats = encode_captions(clip_p, clip_cfg, captions, flags)
+    # clip params (and the int8 caption stack) enter as arguments (closed-over
+    # arrays become HLO constants — enormous compile-time cost on big towers)
+    @partial(jax.jit, donate_argnums=(2,))
+    def _step(clip_p, q8, state: TrainState, captions: jnp.ndarray, labels: jnp.ndarray):
+        caption_feats = encode_captions(clip_p, clip_cfg, captions, flags, q8=q8)
         if ema:
             # momentum update BEFORE the teacher forward (reference ordering)
             ema_params = ema_update(state.ema_params, state.params, momentum)
@@ -156,7 +161,7 @@ def make_train_step(
         return new_state, aux
 
     def train_step(state, captions, labels):
-        return _step(clip_params, state, captions, labels)
+        return _step(clip_params, caption_q8, state, captions, labels)
 
     return train_step
 
@@ -246,12 +251,26 @@ class CaptionDistillTrainer:
             )
             lmpt_counts = jnp.asarray(freq["class_freq"], jnp.float32)
 
+        caption_q8 = None
+        if cfg.TRAIN.int8_captions:
+            # W8A8 text tower for the FROZEN caption branch only (the prompt
+            # branch carries gradients and keeps full precision). Opt-in:
+            # quantization noise on the training targets is untested vs
+            # competition mAP.
+            from ..ops.quant import quantize_block_stack
+
+            caption_q8 = jax.jit(quantize_block_stack)(
+                self.clip_params["text"]["blocks"]
+            )
+            caption_q8 = replicate(caption_q8, self.mesh)
+
         self._step_kwargs = dict(
             loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             co_matrix=co_matrix, resample_params=resample_params,
             lmpt=cfg.TRAIN.LMPT, lmpt_lambda=cfg.TRAIN.LMPT_LAMBDA,
             lmpt_class_counts=lmpt_counts, m_ctx=cfg.TRAINER.M_CTX,
+            caption_q8=caption_q8,
         )
         self.train_step = make_train_step(
             self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,

@@ -89,6 +89,24 @@ def test_training_reduces_loss(tmp_path):
     assert np.isfinite(float(state.params["temperature"]))
 
 
+def test_int8_caption_branch(tmp_path):
+    """TRAIN.int8_captions quantizes the FROZEN caption encode only; one step
+    must run finite and the loss must track the full-precision step closely
+    (same batch, same init)."""
+    from leclip_tpu.parallel.mesh import shard_batch
+
+    ref = make_trainer(tmp_path / "a")
+    q = make_trainer(tmp_path / "b", **{"TRAIN.int8_captions": "True"})
+    sb = next(ref.batcher.epoch(0))
+    batch = shard_batch(sb, ref.mesh)
+    _, m_ref = ref.train_step(ref.state, batch["img"], batch["label"])
+    batch_q = shard_batch(sb, q.mesh)
+    _, m_q = q.train_step(q.state, batch_q["img"], batch_q["label"])
+    lr_, lq = float(m_ref["loss"]), float(m_q["loss"])
+    assert np.isfinite(lq)
+    assert abs(lq - lr_) < 0.05 * max(abs(lr_), 1e-3), (lr_, lq)
+
+
 def test_full_loop_and_checkpoints(tmp_path):
     trainer = make_trainer(tmp_path, **{"TRAIN.CHECKPOINT_FREQ": "1"})
     state = trainer.train()
