@@ -132,7 +132,7 @@ def main():
     print(json.dumps({
         "metric": "ViT-B/16 multi-scale TTA crop-forwards/sec/chip (6-model ensemble, 305 crops/img)",
         "value": round(crops_per_sec, 2),
-        "unit": "images/sec",
+        "unit": "crop-forwards/sec",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 2),
         "precision": precision,
         "batch_images": batch_images,

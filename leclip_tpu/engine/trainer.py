@@ -257,12 +257,11 @@ class CaptionDistillTrainer:
             # branch carries gradients and keeps full precision). Opt-in:
             # quantization noise on the training targets is untested vs
             # competition mAP.
-            from ..ops.quant import quantize_block_stack
+            from ..ops.quant import quantize_stack_on_device
 
-            caption_q8 = jax.jit(quantize_block_stack)(
-                self.clip_params["text"]["blocks"]
+            caption_q8 = quantize_stack_on_device(
+                self.clip_params["text"]["blocks"], mesh=self.mesh
             )
-            caption_q8 = replicate(caption_q8, self.mesh)
 
         self._step_kwargs = dict(
             loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
@@ -402,6 +401,7 @@ class CaptionDistillAdapterTrainer(CaptionDistillTrainer):
             loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             adapter=self.adapter, adapter_trainable=cfg.TRAINER.adapter_trainable,
+            caption_q8=self._step_kwargs.get("caption_q8"),
         )
 
 

@@ -57,9 +57,9 @@ def build_caption_bank(
     quantization noise (validated in tests/test_quant.py)."""
     q8 = None
     if precision == "int8":
-        from ..ops.quant import quantize_block_stack
+        from ..ops.quant import quantize_stack_on_device
 
-        q8 = jax.jit(quantize_block_stack)(clip_params["text"]["blocks"])
+        q8 = quantize_stack_on_device(clip_params["text"]["blocks"])
 
     # params and q8 are jit ARGUMENTS (closure arrays → HLO constants →
     # multi-minute remote compiles)

@@ -240,32 +240,14 @@ class TTAEngine:
             raise ValueError(f"unknown precision {precision!r}")
         if precision == "int8" and not clip_cfg.is_vit:
             raise ValueError("precision='int8' currently supports ViT backbones only")
-        if (
-            precision == "int8"
-            and jax.default_backend() == "tpu"
-            and clip_cfg.vision_width % 128 != 0
-        ):
-            # Mosaic int8 matmuls need the contraction dim in full 128-lane
-            # tiles; real CLIP ViTs (768/1024/1280) all qualify — only toy
-            # geometries hit this (CPU interpret mode accepts any width)
-            raise ValueError(
-                f"precision='int8' on TPU needs vision_width % 128 == 0 "
-                f"(got {clip_cfg.vision_width})"
-            )
         self.precision = precision
         self._q8 = None
         if precision == "int8":
-            from ..ops.quant import quantize_block_stack
+            from ..ops.quant import quantize_stack_on_device
 
-            # quantize ON DEVICE in one program (eager per-op dispatch over the
-            # tunnel is catastrophic; and the int8 stack is ~86 MB — jit arg)
-            self._q8 = jax.jit(quantize_block_stack)(
-                self.clip_params["visual"]["blocks"]
+            self._q8 = quantize_stack_on_device(
+                self.clip_params["visual"]["blocks"], mesh=mesh
             )
-            if mesh is not None:
-                from ..parallel.mesh import replicate
-
-                self._q8 = replicate(self._q8, mesh)
         # crop census is size-independent; probe it once
         _, counts = tta_sampling_boxes(480, 640, self.scales)
         self.n_blocks = sum(counts)

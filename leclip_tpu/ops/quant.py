@@ -120,6 +120,28 @@ def _equilibrate(ln_scale, ln_bias, kernel):
     return ln_q, kernel * m[..., None].astype(kernel.dtype)
 
 
+def quantize_stack_on_device(blocks: dict, mesh=None) -> dict:
+    """Build the int8 stack for a transformer block pytree: width guard,
+    ONE jitted quantization program (eager per-op dispatch over a networked
+    TPU is catastrophic, and the stack is tens of MB — jit argument), and
+    optional mesh replication. The single entry point for every int8
+    consumer (TTA engine, caption bank, trainer caption branch)."""
+    width = int(blocks["attn"]["qkv_kernel"].shape[-2])
+    if jax.default_backend() == "tpu" and width % 128 != 0:
+        # Mosaic int8 matmuls need the contraction dim in full 128-lane
+        # tiles; real CLIP towers (512/640/768/1024) all qualify — only toy
+        # geometries hit this (CPU interpret mode accepts any width)
+        raise ValueError(
+            f"int8 transformer kernels on TPU need width % 128 == 0 (got {width})"
+        )
+    q8 = jax.jit(quantize_block_stack)(blocks)
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        q8 = replicate(q8, mesh)
+    return q8
+
+
 def quantize_block_stack(blocks: dict) -> dict:
     """Quantize a stacked transformer block pytree (leading layer axis) into
     int8 kernels + fp32 scales; layout mirrors the bf16 stack so the scan in

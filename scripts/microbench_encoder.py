@@ -9,8 +9,6 @@ element (out.mean()): chaining a single output scalar lets XLA slice-propagate
 
 r2 result: encoder 464 -> 349 ms per 1220 crops (auto=resident vs impl=xla).
 """
-import time
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _bench import chain as _chain, measure as _measure
+from _bench import measure as _measure
 from leclip_tpu.models.clip import PRESETS, init_clip_params
 from leclip_tpu.models.vit import encode_image_vit
 
