@@ -258,6 +258,9 @@ def retrieval_augment(
             "be,bke->bk", global_feat, selected,
             preferred_element_type=jnp.float32,
         )
+        # the fp32 rescore can reorder ties/near-ties of the bf16 search —
+        # restore the descending-score contract (cheap at k≈10)
+        scores = -jnp.sort(-scores, axis=-1)
     merged = (global_feat + selected.mean(axis=1).astype(global_feat.dtype)) / 2.0
     if k_eff < topk:  # tiny banks: keep the advertised [B, topk] shape
         scores = jnp.pad(scores, ((0, 0), (0, topk - k_eff)))

@@ -100,6 +100,9 @@ def test_all_shipped_recipes_load():
         assert cfg.DATASET.NAME in DATASET_REGISTRY, y.name
         assert cfg.OPTIM.LR > 0 and cfg.OPTIM.MAX_EPOCH > 0, y.name
         assert cfg.TRAIN.LOSSFUNC == "double_ranking", y.name
+        # every reference recipe YAML overrides the code default 40 with 50
+        # (ref: configs/trainers/Caption_distill_double/*.yaml:32)
+        assert cfg.TRAIN.spatial_SCALE_image == 50.0, y.name
 
 
 def test_reference_recipe_map_complete():

@@ -126,3 +126,7 @@ def test_retrieval_augment_large_bank_rescored():
         np.sort(np.asarray(scores_a)), np.sort(np.asarray(scores_e)), atol=2e-2
     )
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(got_e), atol=2e-2)
+    # the approximate branch re-sorts its fp32 rescores — the top-k-descending
+    # contract holds in both branches
+    sa = np.asarray(scores_a)
+    assert (np.diff(sa, axis=-1) <= 1e-7).all(), sa
