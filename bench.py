@@ -4,14 +4,19 @@ Measures the full production path — raw uint8 images → on-device crop
 pyramid (scales 2/3/4 → 304 crops + 1 global per image) → bicubic resize →
 CLIP normalise → ViT-B/16 image encoder → dense + global prompt logits for
 a 6-member ensemble with retrieval augmentation — and reports 224²
-crop-forwards/sec/chip. The encoder runs the W8A8 int8 pallas-kernel path
-by default (BENCH_PREC=bf16 for the unquantized path; batch via
-BENCH_BATCH, default 8); the JSON line carries the precision used.
+crop-forwards/sec/chip.
+
+BOTH precisions are measured in one run: the W8A8 int8 pallas-kernel path
+(the production default for ViT towers — task-level accuracy gate in
+tests/test_quant_gate.py) and the unquantized bf16 path. The JSON line
+carries the int8 number as `value` and the bf16 number as `value_bf16`
+so the driver records the pair. BENCH_PREC=int8|bf16 restricts to one
+precision; batch via BENCH_BATCH (default 8).
 
 Baseline: the reference does ≈9.8M crop-forwards in 10–12 h on an A40
 (≈250 crop-forwards/s; BASELINE.md "Implied reference throughput").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -80,19 +85,6 @@ def main():
     bank = bank_fn(jax.random.PRNGKey(7))
     bank.block_until_ready()
 
-    # W8A8 int8 encoder (pallas-fused LN+quant+QKV+attention megakernel +
-    # fused int8 MLP, ops/quant_kernels.py): 203 ms vs 349 ms bf16 for the
-    # 1220-crop encoder pass. Accuracy is validated in tests/test_quant.py
-    # (per-op error bounds + end-to-end fused-score agreement vs bf16);
-    # set BENCH_PREC=bf16 to measure the unquantized path.
-    precision = os.environ.get("BENCH_PREC", "int8")
-    engine = TTAEngine(
-        clip_params, clip_cfg, specs, scales=(2, 3, 4),
-        caption_bank=bank,
-        compute_dtype=jnp.bfloat16,
-        precision=precision,
-    )
-
     rng = np.random.default_rng(0)
     # 8 images x 305 crops = 2440 crops per dispatch: amortises the fixed
     # per-batch work (crop gather setup, retrieval top-k, dispatch latency)
@@ -102,41 +94,61 @@ def main():
         rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         for _ in range(batch_images)
     ]
-    crops_per_image = 1 + engine.n_blocks  # 305 for scales (2,3,4)
 
-    # warmup / compile (single-dispatch fused competition scoring)
-    log("compiling + warmup…")
-    engine.run_batch_fused(images)
-    log("warmup done; timing")
+    def measure(precision: str) -> tuple:
+        """Compile + time the fused TTA program at one precision."""
+        engine = TTAEngine(
+            clip_params, clip_cfg, specs, scales=(2, 3, 4),
+            caption_bank=bank,
+            compute_dtype=jnp.bfloat16,
+            precision=precision,
+        )
+        crops_per_image = 1 + engine.n_blocks  # 305 for scales (2,3,4)
+        log(f"[{precision}] compiling + warmup…")
+        engine.run_batch_fused(images)
+        log(f"[{precision}] warmup done; timing")
+        # Inputs are staged to the device ONCE and the fused program
+        # dispatched on the staged batch: chip throughput with the
+        # host→device transfer off the critical path (a producer thread
+        # stages ahead in production — the competition pass needs ~20 MB/s
+        # of input vs GB/s host links; re-staging per batch over THIS dev
+        # tunnel adds ±4% network noise). The sustained number WITH host
+        # decode + staging on-thread is measured by scripts/rehearsal.py.
+        iters = 20
+        staged = engine.stage_batch_fused(images)
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs.append(engine.dispatch_staged_fused(staged))
+            if len(outs) > 2:
+                np.asarray(outs.pop(0))  # consume depth-2 behind the dispatch
+        for o in outs:
+            np.asarray(o)
+        dt = time.perf_counter() - t0
+        crops_per_sec = iters * batch_images * crops_per_image / dt
+        log(f"[{precision}] {crops_per_sec:.1f} crop-forwards/s")
+        return crops_per_sec
 
-    # Inputs are staged to the device ONCE and the fused program dispatched
-    # on the staged batch: this measures chip throughput with the host→device
-    # transfer off the critical path, which is the production regime (a
-    # producer thread stages ahead; the competition pass needs ~20 MB/s of
-    # input bandwidth vs GB/s host links). Re-staging per batch over THIS
-    # dev tunnel adds ±4% network noise to the measurement.
-    iters = 20
-    staged = engine.stage_batch_fused(images)
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs.append(engine.dispatch_staged_fused(staged))
-        if len(outs) > 2:
-            np.asarray(outs.pop(0))  # consume depth-2 behind the dispatch
-    for o in outs:
-        np.asarray(o)
-    dt = time.perf_counter() - t0
+    only = os.environ.get("BENCH_PREC", "")
+    precisions = [only] if only else ["int8", "bf16"]
+    results = {p: measure(p) for p in precisions}
 
-    crops = iters * batch_images * crops_per_image
-    crops_per_sec = crops / dt
-    print(json.dumps({
+    # int8 is the headline AND the production default for ViT towers
+    # (TEST.PREC 'auto'; task-level mAP gate in tests/test_quant_gate.py);
+    # the bf16 pair rides along so the record always carries both.
+    primary = "int8" if "int8" in results else precisions[0]
+    out = {
         "metric": "ViT-B/16 multi-scale TTA crop-forwards/sec/chip (6-model ensemble, 305 crops/img)",
-        "value": round(crops_per_sec, 2),
+        "value": round(results[primary], 2),
         "unit": "crop-forwards/sec",
-        "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 2),
-        "precision": precision,
+        "vs_baseline": round(results[primary] / BASELINE_CROPS_PER_SEC, 2),
+        "precision": primary,
         "batch_images": batch_images,
-    }))
+    }
+    if "bf16" in results and primary != "bf16":
+        out["value_bf16"] = round(results["bf16"], 2)
+        out["vs_baseline_bf16"] = round(results["bf16"] / BASELINE_CROPS_PER_SEC, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -70,12 +70,15 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
         if jax.device_count() > 1 and jax.default_backend() != "cpu"
         else None
     )
-    prec = cfg.TEST.PREC
-    if prec not in ("fp32", "bf16", "int8"):
-        raise ValueError(f"TEST.PREC must be fp32 | bf16 | int8, got {prec!r}")
+    from ..engine.config import resolve_test_precision
+
+    prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
     if prec == "int8" and not clip_cfg.is_vit:
         print("note: TEST.PREC int8 needs a ViT backbone — falling back to bf16")
         prec = "bf16"
+    if prec != cfg.TEST.PREC:
+        print(f"TEST.PREC {cfg.TEST.PREC!r} resolved to {prec!r} for "
+              f"{'ViT' if clip_cfg.is_vit else 'ResNet'} backbone")
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
         caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,

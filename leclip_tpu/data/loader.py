@@ -206,7 +206,11 @@ class ImageBatcher:
             keys = []
             for h, w in sizes:
                 bh, bw = bucket_fn(h, w)
-                keys.append((bh * bw, bh, bw))
+                # secondary sort by exact content size: common sizes (real
+                # corpora repeat a handful of camera geometries) then land in
+                # uniform batches, keeping the shared-geometry crop-matrix
+                # fast path (tta._is_shared) alive in mixed corpora
+                keys.append((bh * bw, bh, bw, h, w))
             self.order = np.asarray(
                 sorted(range(len(paths)), key=lambda i: keys[i]), np.int64
             )

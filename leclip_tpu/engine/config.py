@@ -124,8 +124,15 @@ class TestConfig:
     use_freq: bool = False
     retrieval_topk: int = 10
     retrieval_merge: bool = True
-    PREC: str = "bf16"         # inference compute: fp32 | bf16 | int8 (int8 =
-                               # W8A8 encoder matmuls, ViT only; ops/quant.py)
+    PREC: str = "auto"         # inference compute: auto | fp32 | bf16 | int8.
+                               # 'auto' resolves to int8 (W8A8 pallas encoder,
+                               # ops/quant.py) for ViT towers whose width fits
+                               # the TPU int8 tiling, else bf16 — see
+                               # resolve_test_precision(). The task-level
+                               # accuracy gate for the int8 default lives in
+                               # tests/test_quant_gate.py; the reference runs
+                               # fp32 (clip_model.float()) — set PREC fp32 for
+                               # bit-level reference parity.
     block_fuse_coef: float = 1.4
     block_threshold: float = 0.3
     FINAL_MODEL: str = "last_step"
@@ -237,6 +244,26 @@ def _set_typed(node: Any, leaf: str, value: Any) -> None:
     if getattr(node, "_frozen", False):
         raise AttributeError("Config is frozen")
     object.__setattr__(node, leaf, value)
+
+
+def resolve_test_precision(prec: str, clip_cfg) -> str:
+    """Resolve TEST.PREC for a backbone.
+
+    'auto' → the fastest precision whose accuracy is gate-validated for this
+    tower: int8 (W8A8 pallas kernels) for ViT backbones whose width fills the
+    TPU's 128-lane int8 tiles, bf16 otherwise (ResNet towers are conv-bound;
+    the int8 transformer kernels don't apply). The int8 default is backed by
+    the task-level probe-mAP gate in tests/test_quant_gate.py (delta vs fp
+    well inside the reference's ±0.2 tolerance, ref README.md:12-13);
+    explicit 'fp32' reproduces the reference's clip_model.float() numerics.
+    """
+    if prec not in ("auto", "fp32", "bf16", "int8"):
+        raise ValueError(f"TEST.PREC must be auto | fp32 | bf16 | int8, got {prec!r}")
+    if prec != "auto":
+        return prec
+    if getattr(clip_cfg, "is_vit", False) and clip_cfg.vision_width % 128 == 0:
+        return "int8"
+    return "bf16"
 
 
 def default_config() -> Config:

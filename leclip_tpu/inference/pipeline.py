@@ -160,7 +160,12 @@ def run_full_inference(
     if save_dir is None:
         fused_parts = []
         batches = (images for images, _ in batcher)
-        for bi, part in enumerate(engine.run_batches_fused(batches, depth=2)):
+        # producer thread: decode + crop geometry + h2d upload stage ahead of
+        # compute (run_batches_fused_staged) — the sustained-throughput path
+        # measured end-to-end by scripts/rehearsal.py
+        for bi, part in enumerate(
+            engine.run_batches_fused_staged(batches, depth=2, stage_ahead=2)
+        ):
             fused_parts.append(part)
             if progress:
                 print(f"TTA batch {bi + 1}/{len(batcher)} (fused, pipelined)")

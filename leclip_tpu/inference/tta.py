@@ -201,6 +201,10 @@ class TTAEngine:
         antialias: bool = True,        # PIL-bicubic parity on downscale
         mesh=None,                     # jax.sharding.Mesh with a 'data' axis:
                                        # batch sharded, params/bank replicated
+        shard_bank: bool = False,      # row-shard the caption bank over the
+                                       # mesh (ring-kNN retrieval, parallel/
+                                       # retrieval.py) instead of replicating
+                                       # it — d× less bank HBM per chip
         precision: str = "bf16",       # 'bf16' | 'int8' — int8 quantizes the
                                        # ViT transformer's weight matmuls
                                        # (W8A8, ops/quant.py); ~2x MXU rate,
@@ -223,17 +227,35 @@ class TTAEngine:
         self.resize_impl = resize_impl
         self.antialias = antialias
         self.mesh = mesh
+        self.shard_bank = bool(shard_bank)
+        if self.shard_bank and (mesh is None or self.caption_bank is None):
+            raise ValueError("shard_bank=True needs both a mesh and a caption_bank")
         if mesh is not None:
             # replicate the big read-only operands once; batches get sharded
             # per dispatch along the mesh's 'data' axis. The whole TTA program
             # is batch-parallel (per-image fusion/routing), so XLA propagates
             # the batch sharding end-to-end without collectives — the DP
             # contract of the reference (ref train_caption.py:176-179).
-            from ..parallel.mesh import replicate
+            # With shard_bank the bank is instead ROW-SHARDED and retrieval
+            # runs the ring-kNN (parallel/retrieval.py).
+            from ..parallel.mesh import pad_to_multiple, replicate, shard_along
 
             self.clip_params = replicate(self.clip_params, mesh)
             if self.caption_bank is not None:
-                self.caption_bank = replicate(self.caption_bank, mesh)
+                if self.shard_bank:
+                    n_dev = int(np.prod(list(mesh.shape.values())))
+                    # wrap-padding may duplicate up to n_dev-1 rows; a
+                    # duplicate can displace the k-th unique retrieval hit —
+                    # negligible at competition bank sizes (220k % 8 == 0
+                    # anyway), noted for tiny custom banks
+                    padded_bank, _ = pad_to_multiple(
+                        np.asarray(self.caption_bank), n_dev
+                    )
+                    self.caption_bank = shard_along(
+                        jnp.asarray(padded_bank), mesh, axis=mesh.axis_names[0]
+                    )
+                else:
+                    self.caption_bank = replicate(self.caption_bank, mesh)
             if self.cooccurrence is not None:
                 self.cooccurrence = replicate(self.cooccurrence, mesh)
         if precision not in ("bf16", "int8"):
@@ -256,6 +278,17 @@ class TTAEngine:
 
     # ------------------------- device programs ------------------------------
 
+    def _retrieval_fn(self):
+        """(global_feat, bank) → (augmented, topk_scores): the replicated
+        top-k search, or the ring-kNN over the row-sharded bank."""
+        if self.shard_bank:
+            from ..parallel.retrieval import make_sharded_retriever
+
+            return make_sharded_retriever(
+                self.topk, self.mesh, self.mesh.axis_names[0]
+            )
+        return functools.partial(retrieval_augment, topk=self.topk)
+
     def _feature_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int,
                     shared: bool = False):
         key = (bucket, n_boxes, batch, shared)
@@ -268,6 +301,7 @@ class TTAEngine:
         flags = next(iter(self.models.values())).flags
         topk = self.topk
         has_bank = self.caption_bank is not None
+        retrieve = self._retrieval_fn()
 
         # NOTE: clip params and the caption bank are jit ARGUMENTS, not
         # closures — closed-over arrays become HLO constants (hundreds of MB)
@@ -286,7 +320,7 @@ class TTAEngine:
             # retrieval is model-independent → run it once here, shared by
             # every ensemble member (the reference redoes it per model)
             if has_bank:
-                aug, scores = retrieval_augment(feats.global_feat, bank, topk)
+                aug, scores = retrieve(feats.global_feat, bank)
             else:
                 aug = feats.global_feat
                 scores = jnp.zeros((flat.shape[0], topk), jnp.float32)
@@ -418,9 +452,145 @@ class TTAEngine:
             return False
         return bool((content == content[0]).all())
 
+    def _dump_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int,
+                 shared: bool = False):
+        """ONE jitted program for the per-model dump path: crops → encoder →
+        every ensemble member's global/local logits (+ per-member
+        co-occurrence modulation and block aggregation) → a single flat fp32
+        buffer. run_batch dispatches it once and fetches ONE array per batch —
+        the python per-member loop with its ~20 device→host round trips
+        (~30 ms each on a networked TPU) comes off the save_pth parity flow
+        (ref dump contract: Caption_distill_double.py:684-724)."""
+        key = ("dump", bucket, n_boxes, batch, shared)
+        fn = self._feature_fn_cache.get(key)
+        if fn is not None:
+            return fn
+        clip_cfg = self.clip_cfg
+        dtype = self.compute_dtype
+        size = self.crop_size
+        topk = self.topk
+        has_bank = self.caption_bank is not None
+        retrieve = self._retrieval_fn()
+        groups = self._model_groups()
+        flags0 = groups[0][1]
+        thr, coef = self.block_threshold, self.block_coef
+        b = batch
+
+        crop_batch = _make_batch_crop_fn(
+            self.resize_impl, self.antialias, size, shared
+        )
+
+        @jax.jit
+        def dump_fn(clip_params, bank, images_u8, boxes, content_hw,
+                    group_trs, group_tfs, cooc, q8=None):
+            imgs = images_u8.astype(dtype) / 255.0
+            crops = crop_batch(imgs, boxes, content_hw)
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
+            if has_bank:
+                aug, scores = retrieve(feats.global_feat, bank)
+            else:
+                aug = feats.global_feat
+                scores = jnp.zeros((flat.shape[0], topk), jnp.float32)
+
+            parts = []
+            for gi, (names, flags, g_use_freq, _, _) in enumerate(groups):
+                tr, tf = group_trs[gi], group_tfs[gi]
+
+                def score_one(t, f, flags=flags):
+                    return test_logits_from_features(
+                        t, f, feats, flags, precomputed_retrieval=(aug, scores)
+                    )
+
+                out = jax.vmap(score_one)(tr, tf)
+                m = len(names)
+                g = out.logits_global.reshape(m, b, n_boxes, -1).astype(jnp.float32)
+                l = out.logits_local.reshape(m, b, n_boxes, -1).astype(jnp.float32)
+                if g_use_freq:
+                    l = adjust_predictions(l, cooc)
+                g_final = aggregate_blocks(
+                    g[:, :, 1:].reshape(m * b, n_boxes - 1, -1), thr, coef,
+                    base=g[:, :, 0].reshape(m * b, -1),
+                )
+                l_final = aggregate_blocks(
+                    l[:, :, 1:].reshape(m * b, n_boxes - 1, -1), thr, coef,
+                    base=l[:, :, 0].reshape(m * b, -1),
+                )
+                parts += [g, l, g_final, l_final]
+            parts.append(scores.reshape(b, n_boxes, -1).astype(jnp.float32))
+            # ONE device→host transfer: everything flattened into one buffer
+            return jnp.concatenate([p.reshape(-1) for p in parts])
+
+        self._feature_fn_cache[key] = dump_fn
+        return dump_fn
+
     def run_batch(self, images: Sequence[np.ndarray]) -> Dict[str, dict]:
         """Full TTA pass over a batch of decoded images → per-model raw
-        score dict + shared retrieval sims."""
+        score dict + shared retrieval sims. Single dispatch + single
+        device→host transfer per batch (see _dump_fn); numerically equivalent
+        to the multi-dispatch loop (tests/test_tta.py)."""
+        images, b0 = self._mesh_pad(images)
+        padded, boxes, content, bucket = self.prepare_batch(images)
+        b, n = boxes.shape[0], boxes.shape[1]
+        fn = self._dump_fn(bucket, n, b, shared=self._is_shared(content))
+        groups = self._model_groups()
+        bank = self.caption_bank
+        if bank is None:
+            bank = self._replicated(jnp.zeros((1, 1), jnp.float32))
+        n_cls = next(iter(self.models.values())).text_feats["pos"].shape[0]
+        cooc = self.cooccurrence
+        if cooc is None:
+            cooc = self._replicated(jnp.zeros((n_cls, n_cls), jnp.float32))
+        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        flat = np.asarray(fn(
+            self.clip_params, bank, im_d, bx_d, ct_d,
+            tuple(g[3] for g in groups), tuple(g[4] for g in groups),
+            cooc, q8=self._q8,
+        ), np.float32)
+
+        # host-side unpack of the flat buffer (shapes are known statically)
+        results: Dict[str, dict] = {}
+        off = 0
+
+        def take(shape):
+            nonlocal off
+            sz = int(np.prod(shape))
+            out = flat[off : off + sz].reshape(shape)
+            off += sz
+            return out
+
+        sims_saved = None
+        per_model = {}
+        for names, *_ in groups:
+            m = len(names)
+            g = take((m, b, n, n_cls))
+            l = take((m, b, n, n_cls))
+            g_final = take((m, b, n_cls))
+            l_final = take((m, b, n_cls))
+            for mi, name in enumerate(names):
+                per_model[name] = (g[mi], l[mi], g_final[mi], l_final[mi])
+        sims = take((b, n, self.topk))
+        assert off == flat.size
+        for name in self.models:
+            g, l, g_final, l_final = per_model[name]
+            results[name] = {
+                "output": g[:b0, 0],
+                "output_pos": l[:b0, 0],
+                "output_blocks": g[:b0, 1:],
+                "output_pos_blocks": l[:b0, 1:],
+                "output_final": g_final[:b0],
+                "output_pos_final": l_final[:b0],
+            }
+        results["_sims"] = {
+            "sims_all": sims[:b0, 0], "sims_blocks_all": sims[:b0, 1:]
+        }
+        return results
+
+    def run_batch_multidispatch(self, images: Sequence[np.ndarray]) -> Dict[str, dict]:
+        """Multi-dispatch variant of run_batch (one feature dispatch + one
+        score dispatch per model group + host-side aggregation) — kept as the
+        independently-structured implementation the single-dispatch path is
+        equivalence-tested against."""
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
@@ -496,6 +666,7 @@ class TTAEngine:
         size = self.crop_size
         topk = self.topk
         has_bank = self.caption_bank is not None
+        retrieve = self._retrieval_fn()
         groups = self._model_groups()
         flags0 = groups[0][1]
         names_order = [n for names, *_ in groups for n in names]
@@ -515,7 +686,7 @@ class TTAEngine:
             flat = crops.reshape((-1,) + crops.shape[2:])
             feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
             if has_bank:
-                aug, scores = retrieval_augment(feats.global_feat, bank, topk)
+                aug, scores = retrieve(feats.global_feat, bank)
             else:
                 aug = feats.global_feat
                 scores = jnp.zeros((flat.shape[0], topk), jnp.float32)
@@ -617,3 +788,46 @@ class TTAEngine:
                 yield np.asarray(pending.popleft(), np.float32)
         while pending:
             yield np.asarray(pending.popleft(), np.float32)
+
+    def run_batches_fused_staged(self, batches, depth: int = 2,
+                                 stage_ahead: int = 2):
+        """Producer-thread variant of :meth:`run_batches_fused`: a background
+        thread pulls image batches (driving JPEG decode when ``batches`` is a
+        lazy ImageBatcher generator), preps and uploads them
+        (stage_batch_fused) up to ``stage_ahead`` deep, while the calling
+        thread only dispatches compute and reads results — host decode, crop
+        geometry, and the host→device transfer all come off the compute
+        critical path. This is the production driver for the competition pass
+        (the reference's DataLoader worker processes play the same role, ref
+        dassl/data/data_manager.py:95-98)."""
+        import queue
+        import threading
+        from collections import deque
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, stage_ahead))
+        err: list = []
+
+        def producer():
+            try:
+                for images in batches:
+                    q.put(self.stage_batch_fused(images))
+            except BaseException as e:  # re-raised on the consumer thread
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        pending = deque()
+        while True:
+            staged = q.get()
+            if staged is None:
+                break
+            pending.append(self.dispatch_staged_fused(staged))
+            if len(pending) >= depth:
+                yield np.asarray(pending.popleft(), np.float32)
+        while pending:
+            yield np.asarray(pending.popleft(), np.float32)
+        t.join()
+        if err:
+            raise err[0]

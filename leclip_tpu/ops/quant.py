@@ -18,9 +18,12 @@ Scheme — standard W8A8 dynamic quantization:
 
 This is an extension over the reference (which runs fp32 CUDA,
 ref: project/my_code/trainers/Caption_distill_double.py:746-748 clip_model
-.float()); it is OPT-IN (`TTAEngine(precision='int8')`) and off for training.
-Accuracy is validated in tests/test_quant.py (per-block relative error and
-end-to-end encoder cosine similarity vs the bf16 path).
+.float()). It is the TEST.PREC='auto' default for ViT towers whose width
+fills the 128-lane int8 tiles (engine/config.py resolve_test_precision),
+off for training (except the opt-in TRAIN.int8_captions frozen branch).
+Accuracy: per-op bounds + end-to-end encoder agreement in tests/
+test_quant.py, and a task-level probe-mAP gate vs the reference's ±0.2
+tolerance in tests/test_quant_gate.py.
 """
 
 from __future__ import annotations

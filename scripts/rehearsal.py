@@ -1,0 +1,221 @@
+"""End-to-end competition rehearsal: MEASURED sustained throughput, not an
+extrapolation.
+
+Generates a synthetic corpus of real JPEG files with a realistic size mix
+(several shape buckets, a few oversized — the competition test set is
+COCO-style camera imagery), then runs the production inference path exactly
+as `cli/eval.py` would: native libjpeg decode → bucket-sorted batches →
+producer-thread staging → depth-2 pipelined single-dispatch fused TTA
+scoring (6-member ensemble, 220k-caption retrieval bank) → impreds.json.
+
+Reports sustained crop-forwards/s WITH host decode + staging on the measured
+path, and the projected wall-clock for the full 13,965-image competition
+pass (ref: run_eval.sh:37-41 + test.sh — the reference measures 10–12 h on
+an A40 for the same pass).
+
+Usage:
+    python scripts/rehearsal.py [--images 2000] [--batch-size 8]
+        [--precision int8|bf16] [--keep-dir DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+COMPETITION_IMAGES = 13_965  # gen_final_ans.py:8-9
+
+# Realistic size mix: dominant camera geometries, some portrait, a tail of
+# large and oversized (> largest bucket → host downscale path) images.
+SIZE_MIX = [
+    ((480, 640), 0.35),
+    ((640, 480), 0.15),
+    ((375, 500), 0.12),
+    ((500, 375), 0.08),
+    ((427, 640), 0.10),
+    ((640, 427), 0.05),
+    ((768, 1024), 0.05),
+    ((1024, 768), 0.04),
+    ((1200, 1600), 0.03),   # > (1024,1024) bucket edge
+    ((1536, 2048), 0.02),   # oversized → host downscale
+    ((333, 500), 0.01),
+]
+
+
+def make_corpus(out_dir: str, n: int, seed: int = 0) -> list:
+    """Write n JPEGs with the SIZE_MIX distribution; returns paths.
+
+    Content is low-frequency noise upscaled (realistic JPEG entropy / file
+    size — raw white noise would inflate decode cost unrealistically)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sizes = [s for s, _ in SIZE_MIX]
+    probs = np.asarray([p for _, p in SIZE_MIX])
+    probs = probs / probs.sum()
+    picks = rng.choice(len(sizes), size=n, p=probs)
+    paths = []
+    for i, pi in enumerate(picks):
+        h, w = sizes[pi]
+        small = rng.integers(0, 255, (max(2, h // 16), max(2, w // 16), 3),
+                             dtype=np.uint8)
+        img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+        p = os.path.join(out_dir, f"img_{i:05d}.jpg")
+        img.save(p, quality=88)
+        paths.append(p)
+    return paths
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--precision", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--keep-dir", default="",
+                    help="reuse/keep the corpus dir (default: temp, deleted)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
+    from leclip_tpu.inference.pipeline import run_full_inference
+    from leclip_tpu.inference.tta import TTAEngine, build_model_spec
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.models.dense_clip import DenseFlags
+    from leclip_tpu.models.prompt import build_prompt_learner
+
+    def log(msg):
+        print(f"[rehearsal {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    # ---- corpus -------------------------------------------------------------
+    import tempfile
+
+    tmp = None
+    if args.keep_dir:
+        corpus_dir = args.keep_dir
+        existing = sorted(
+            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+            if f.endswith(".jpg")
+        ) if os.path.isdir(corpus_dir) else []
+        if len(existing) >= args.images:
+            paths = existing[: args.images]
+            log(f"reusing {len(paths)} JPEGs from {corpus_dir}")
+        else:
+            log(f"writing {args.images} JPEGs to {corpus_dir}…")
+            paths = make_corpus(corpus_dir, args.images, args.seed)
+    else:
+        tmp = tempfile.TemporaryDirectory(prefix="leclip_rehearsal_")
+        corpus_dir = tmp.name
+        log(f"writing {args.images} JPEGs to {corpus_dir}…")
+        t0 = time.time()
+        paths = make_corpus(corpus_dir, args.images, args.seed)
+        log(f"corpus written in {time.time() - t0:.0f}s")
+
+    # ---- model / engine (identical construction to bench.py) ---------------
+    clip_cfg = PRESETS["ViT-B/16"]
+    log("initialising ViT-B/16 params on device…")
+    init_fn = jax.jit(lambda key: init_clip_params(key, clip_cfg, dtype=jnp.bfloat16))
+    clip_params = init_fn(jax.random.PRNGKey(0))
+    jax.tree.map(lambda x: x.block_until_ready(), clip_params)
+
+    flags = DenseFlags(use_evidence=True)
+    token_emb_host = np.asarray(jax.device_get(clip_params["text"]["token_embedding"]))
+    host_clip_stub = {"text": {"token_embedding": token_emb_host}}
+    specs = {}
+    for i, name in enumerate(["best", "ema", "zema", "diff", "diffh", "difft"]):
+        trainable, constants = build_prompt_learner(
+            jax.random.PRNGKey(i), host_clip_stub, COCO_OBJECT_CATEGORIES,
+            n_ctx=16, dtype=jnp.bfloat16,
+        )
+        specs[name] = build_model_spec(
+            clip_params, clip_cfg, trainable, constants,
+            flags if name in ("best", "difft") else DenseFlags(),
+        )
+
+    log("building 220k caption bank on device…")
+
+    @jax.jit
+    def bank_fn(key):
+        b = jax.random.normal(key, (220_000, clip_cfg.embed_dim), jnp.bfloat16)
+        return b / jnp.linalg.norm(
+            b.astype(jnp.float32), axis=-1, keepdims=True
+        ).astype(jnp.bfloat16)
+
+    bank = bank_fn(jax.random.PRNGKey(7))
+    bank.block_until_ready()
+
+    engine = TTAEngine(
+        clip_params, clip_cfg, specs, scales=(2, 3, 4),
+        caption_bank=bank, compute_dtype=jnp.bfloat16,
+        precision=args.precision,
+    )
+    crops_per_image = 1 + engine.n_blocks
+
+    # ---- warmup pass: compile every (bucket, shared) program variant the
+    # corpus will touch, off the measured clock. One batch per variant is
+    # enough: group the sorted paths exactly as ImageBatcher will batch them
+    # and take the first batch of each variant.
+    log("warmup: compiling per-bucket programs…")
+    t0 = time.time()
+    from leclip_tpu.data.loader import ImageBatcher
+
+    probe = ImageBatcher(paths, args.batch_size, sort_by_bucket=True)
+    seen, warm_batches = set(), []
+    for images, _ in probe:
+        padded, boxes, content, bucket = engine.prepare_batch(images)
+        key = (bucket, boxes.shape[0], engine._is_shared(content))
+        if key not in seen:
+            seen.add(key)
+            warm_batches.append(images)
+    for images in warm_batches:
+        engine.run_batch_fused(images)
+    log(f"warmup done: {len(warm_batches)} program variants in "
+        f"{time.time() - t0:.0f}s")
+
+    # ---- measured pass ------------------------------------------------------
+    out_json = os.path.join(corpus_dir, "impreds.json")
+    log(f"measured pass: {len(paths)} images, batch {args.batch_size}, "
+        f"{args.precision}…")
+    t0 = time.perf_counter()
+    fused = run_full_inference(engine, paths, batch_size=args.batch_size,
+                               out_json=out_json, progress=False)
+    dt = time.perf_counter() - t0
+    assert fused.shape == (len(paths), len(COCO_OBJECT_CATEGORIES))
+    assert np.isfinite(fused).all()
+    with open(out_json) as f:
+        assert len(json.load(f)) == len(paths)
+
+    crops = len(paths) * crops_per_image
+    sustained = crops / dt
+    projected_min = COMPETITION_IMAGES * crops_per_image / sustained / 60.0
+    print(json.dumps({
+        "metric": "sustained e2e crop-forwards/s (decode→impreds.json)",
+        "value": round(sustained, 2),
+        "unit": "crop-forwards/sec",
+        "images": len(paths),
+        "batch_size": args.batch_size,
+        "precision": args.precision,
+        "crops_per_image": crops_per_image,
+        "wall_s": round(dt, 1),
+        "projected_competition_pass_min": round(projected_min, 1),
+    }))
+    if tmp is not None:
+        tmp.cleanup()
+
+
+if __name__ == "__main__":
+    main()

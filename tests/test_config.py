@@ -109,3 +109,22 @@ def test_reference_recipe_map_complete():
     ours = {y.stem for y in _CONFIG_DIR.glob("*.yaml")}
     missing = set(_REFERENCE_RECIPE_MAP.values()) - ours
     assert not missing, f"reference recipes without a counterpart: {missing}"
+
+
+def test_resolve_test_precision():
+    """TEST.PREC 'auto' → int8 only for ViT towers that fill the TPU's
+    128-lane int8 tiles; explicit values pass through; fp32 stays available
+    for bit-level reference parity."""
+    import pytest
+
+    from leclip_tpu.engine.config import resolve_test_precision
+    from leclip_tpu.models.clip import PRESETS
+
+    assert resolve_test_precision("auto", PRESETS["ViT-B/16"]) == "int8"
+    assert resolve_test_precision("auto", PRESETS["ViT-L/14"]) == "int8"
+    assert resolve_test_precision("auto", PRESETS["RN50"]) == "bf16"
+    assert resolve_test_precision("auto", PRESETS["ViT-TEST"]) == "bf16"  # width 64
+    for explicit in ("fp32", "bf16", "int8"):
+        assert resolve_test_precision(explicit, PRESETS["RN50"]) == explicit
+    with pytest.raises(ValueError):
+        resolve_test_precision("fp16", PRESETS["RN50"])

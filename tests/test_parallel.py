@@ -76,3 +76,71 @@ def test_process_local_data_path_equivalent():
     assert via_local.sharding == via_put.sharding
     np.testing.assert_array_equal(np.asarray(via_local), np.asarray(via_put))
     assert via_local.addressable_shards[0].data.shape == (2, 8)
+
+
+def test_retrieval_augment_sharded_matches_replicated():
+    """Ring-kNN over a row-sharded bank must reproduce the replicated
+    retrieval exactly on CPU (per-shard search is exact there): same merged
+    features, same descending fp32 top-k scores. VERDICT r2 item 6."""
+    from leclip_tpu.models.dense_clip import retrieval_augment
+    from leclip_tpu.parallel.retrieval import retrieval_augment_sharded
+
+    rng = np.random.default_rng(0)
+    E, N, B, K = 32, 160, 16, 5
+    gf = rng.normal(size=(B, E)).astype(np.float32)
+    gf /= np.linalg.norm(gf, axis=-1, keepdims=True)
+    bank = rng.normal(size=(N, E)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+
+    mesh = data_mesh()
+    gf_d = shard_batch({"x": gf}, mesh)["x"]
+    bank_d = shard_along(jnp.asarray(bank), mesh)
+    aug_s, scores_s = retrieval_augment_sharded(gf_d, bank_d, K, mesh)
+    aug_r, scores_r = retrieval_augment(jnp.asarray(gf), jnp.asarray(bank), K,
+                                        exact=True)
+    np.testing.assert_allclose(np.asarray(aug_s), np.asarray(aug_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_r),
+                               rtol=1e-5, atol=1e-6)
+    sa = np.asarray(scores_s)
+    assert (np.diff(sa, axis=-1) <= 1e-7).all()
+
+
+def test_tta_engine_sharded_bank_matches_replicated():
+    """TTAEngine(shard_bank=True): bank rows live once across the mesh (1/8
+    per chip) and the fused competition scores match the single-device
+    replicated-bank engine."""
+    from leclip_tpu.inference.tta import TTAEngine, build_model_spec
+    from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+    from leclip_tpu.models.dense_clip import DenseFlags
+    from leclip_tpu.models.prompt import build_prompt_learner
+
+    tiny = CLIPConfig(
+        embed_dim=32, image_resolution=64, vision_layers=(1, 1, 1, 1),
+        vision_width=8, vision_patch_size=None, transformer_width=64,
+        transformer_heads=2, transformer_layers=2,
+    )
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    trainable, constants = build_prompt_learner(
+        jax.random.PRNGKey(1), clip_params, ["dog", "cat", "person", "pizza"],
+        n_ctx=4,
+    )
+    spec = build_model_spec(clip_params, tiny, trainable, constants, DenseFlags())
+    rng = np.random.default_rng(2)
+    bank = jnp.asarray(rng.normal(size=(80, 32)).astype(np.float32))
+    images = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(3)]
+    mesh = data_mesh()
+
+    plain = TTAEngine(clip_params, tiny, {"best": spec}, scales=(2,),
+                      crop_size=64, caption_bank=bank, topk=5)
+    sharded = TTAEngine(clip_params, tiny, {"best": spec}, scales=(2,),
+                        crop_size=64, caption_bank=bank, topk=5,
+                        mesh=mesh, shard_bank=True)
+    # the bank really is row-sharded: each device holds 10 of 80 rows
+    shard0 = sharded.caption_bank.addressable_shards[0]
+    assert shard0.data.shape == (10, 32)
+
+    f_plain = plain.run_batch_fused(images)
+    f_shard = sharded.run_batch_fused(images)
+    np.testing.assert_allclose(f_shard, f_plain, rtol=2e-4, atol=2e-4)

@@ -237,3 +237,48 @@ def test_fused_path_matches_host_fusion(setup):
                                         routing=DEFAULT_ROUTING, base="best")
     assert fused_device.shape == fused_host.shape == (2, 4)
     np.testing.assert_allclose(fused_device, fused_host, rtol=1e-4, atol=1e-4)
+
+
+def test_run_batch_single_dispatch_matches_multidispatch(setup, rng):
+    """The single-dispatch dump path (run_batch → _dump_fn, one program + one
+    flat device→host transfer) must reproduce the multi-dispatch loop's dump
+    dict — including co-occurrence-modulated members — and the pickled dump
+    artifact must be byte-identical (VERDICT r2 item 5; ref dump contract
+    Caption_distill_double.py:684-724)."""
+    import pickle
+
+    from leclip_tpu.ops.ensemble import normalized_cooccurrence
+
+    clip_params, specs = setup
+    adj = rng.random((4, 4)).astype(np.float32) + 0.1
+    nums = rng.random(4).astype(np.float32) + 1.0
+    mixed = {
+        "best": specs["best"]._replace(use_freq=True),
+        "ema": specs["ema"]._replace(use_freq=False),
+    }
+    bank = jnp.asarray(rng.normal(size=(60, 32)).astype(np.float32))
+    engine = TTAEngine(
+        clip_params, TINY, mixed, scales=(2,), crop_size=64,
+        caption_bank=bank, topk=5,
+        cooccurrence=normalized_cooccurrence(adj, nums),
+    )
+    images = [
+        np.random.default_rng(5).integers(0, 255, (100, 140, 3)).astype(np.uint8),
+        np.random.default_rng(6).integers(0, 255, (100, 140, 3)).astype(np.uint8),
+    ]
+    fast = engine.run_batch(images)
+    slow = engine.run_batch_multidispatch(images)
+    sims_fast, sims_slow = fast.pop("_sims"), slow.pop("_sims")
+    assert set(fast) == set(slow)
+    for name in fast:
+        for k in fast[name]:
+            np.testing.assert_allclose(
+                fast[name][k], slow[name][k], rtol=1e-5, atol=1e-6,
+                err_msg=f"{name}/{k}",
+            )
+    np.testing.assert_allclose(sims_fast["sims_all"], sims_slow["sims_all"],
+                               rtol=1e-5, atol=1e-6)
+    # dump determinism: two single-dispatch passes pickle byte-identically
+    again = engine.run_batch(images)
+    again.pop("_sims")
+    assert pickle.dumps(fast) == pickle.dumps(again)
