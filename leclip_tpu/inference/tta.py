@@ -209,6 +209,9 @@ class TTAEngine:
                                        # ViT transformer's weight matmuls
                                        # (W8A8, ops/quant.py); ~2x MXU rate,
                                        # validated in tests/test_quant.py
+        bf16_fused=None,               # None = auto (TPU + bf16 ViT); bool
+                                       # forces the fused bf16 block kernels
+                                       # (ops/block_kernels.py) on/off
     ):
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
@@ -270,6 +273,18 @@ class TTAEngine:
             self._q8 = quantize_stack_on_device(
                 self.clip_params["visual"]["blocks"], mesh=mesh
             )
+        # bf16 fused-block pallas kernels (ops/block_kernels.py): the int8
+        # megakernels' fusion structure with unquantized weights. Auto-engages
+        # for the bf16 ViT path on a real TPU (interpret-mode pallas would
+        # slow CPU runs); bf16_fused=True/False overrides (tests force True
+        # to exercise the kernels in interpret mode).
+        if bf16_fused is None:
+            bf16_fused = (
+                precision == "bf16" and clip_cfg.is_vit
+                and compute_dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+            )
+        self._fused = bool(bf16_fused) and precision == "bf16" and clip_cfg.is_vit
         # crop census is size-independent; probe it once
         _, counts = tta_sampling_boxes(480, 640, self.scales)
         self.n_blocks = sum(counts)
@@ -302,6 +317,7 @@ class TTAEngine:
         topk = self.topk
         has_bank = self.caption_bank is not None
         retrieve = self._retrieval_fn()
+        use_fused = self._fused
 
         # NOTE: clip params and the caption bank are jit ARGUMENTS, not
         # closures — closed-over arrays become HLO constants (hundreds of MB)
@@ -316,7 +332,8 @@ class TTAEngine:
             imgs = images_u8.astype(dtype) / 255.0
             crops = crop_batch(imgs, boxes, content_hw)  # [B, n, S, S, 3]
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = encode_image_features(clip_params, clip_cfg, flat, flags, q8=q8)
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags, q8=q8,
+                                          fused=use_fused)
             # retrieval is model-independent → run it once here, shared by
             # every ensemble member (the reference redoes it per model)
             if has_bank:
@@ -471,6 +488,7 @@ class TTAEngine:
         topk = self.topk
         has_bank = self.caption_bank is not None
         retrieve = self._retrieval_fn()
+        use_fused = self._fused
         groups = self._model_groups()
         flags0 = groups[0][1]
         thr, coef = self.block_threshold, self.block_coef
@@ -486,7 +504,8 @@ class TTAEngine:
             imgs = images_u8.astype(dtype) / 255.0
             crops = crop_batch(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8,
+                                          fused=use_fused)
             if has_bank:
                 aug, scores = retrieve(feats.global_feat, bank)
             else:
@@ -667,6 +686,7 @@ class TTAEngine:
         topk = self.topk
         has_bank = self.caption_bank is not None
         retrieve = self._retrieval_fn()
+        use_fused = self._fused
         groups = self._model_groups()
         flags0 = groups[0][1]
         names_order = [n for names, *_ in groups for n in names]
@@ -684,7 +704,8 @@ class TTAEngine:
             imgs = images_u8.astype(dtype) / 255.0
             crops = crop_batch(imgs, boxes, content_hw)
             flat = crops.reshape((-1,) + crops.shape[2:])
-            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8)
+            feats = encode_image_features(clip_params, clip_cfg, flat, flags0, q8=q8,
+                                          fused=use_fused)
             if has_bank:
                 aug, scores = retrieve(feats.global_feat, bank)
             else:

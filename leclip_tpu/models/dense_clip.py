@@ -279,11 +279,11 @@ class ImageFeatures(NamedTuple):
 
 def encode_image_features(
     clip_params: dict, clip_cfg: CLIPConfig, images: jnp.ndarray, flags: DenseFlags,
-    q8: dict = None,
+    q8: dict = None, fused: bool = False,
 ) -> ImageFeatures:
     out = clip_encode_image(
         clip_params, clip_cfg, images, dense=True, if_pos=False,
-        impl=flags.attention_impl, q8=q8,
+        impl=flags.attention_impl, q8=q8, fused=fused,
     )
     if clip_cfg.is_vit:
         global_raw, tokens = out  # ViT dense tokens are already projected

@@ -34,7 +34,7 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
                    impl: str = "auto", kv_len=None, q8=None,
-                   causal: bool = False):
+                   causal: bool = False, fused: bool = False):
     """One pre-LN residual attention block over [B, T, D].
 
     ``q8`` (optional) enables the W8A8 inference fast path (ops/quant.py +
@@ -42,7 +42,40 @@ def residual_block(x: jnp.ndarray, p: dict, n_heads: int, mask=None,
     int8 QKV matmul, and the whole MLP (LN -> int8 fc -> GELU -> int8 proj ->
     residual) as one pallas kernel with the hidden activations VMEM-resident.
     Attention core and its output projection stay bf16; softmax/LN stats fp32.
+
+    ``fused`` (inference only — the pallas kernels define no VJP) runs the
+    same fused-block structure with unquantized bf16 weights
+    (ops/block_kernels.py) where the weights fit VMEM; each sub-block falls
+    back to the unfused XLA path independently otherwise.
     """
+    if fused and q8 is None and (mask is None or causal):
+        from ..ops.block_kernels import (
+            attn_block_bf16, fits_vmem_attn, fits_vmem_mlp, mlp_bf16,
+        )
+
+        d = x.shape[-1]
+        hidden = p["mlp"]["fc_kernel"].shape[-1]
+        if fits_vmem_attn(d):
+            x = attn_block_bf16(
+                x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+                p["attn"]["qkv_kernel"], p["attn"]["qkv_bias"],
+                p["attn"]["out_kernel"], p["attn"]["out_bias"],
+                n_heads, kv_len=kv_len, causal=causal,
+            )
+        else:
+            y = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+            x = x + multi_head_attention(
+                y, p["attn"], n_heads, mask=mask, impl=impl, kv_len=kv_len
+            )
+        if fits_vmem_mlp(d, hidden) and (x.shape[0] * x.shape[1]) % 8 == 0:
+            return mlp_bf16(
+                x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+                p["mlp"]["fc_kernel"], p["mlp"]["fc_bias"],
+                p["mlp"]["proj_kernel"], p["mlp"]["proj_bias"],
+            )
+        y = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+        h = quick_gelu(y @ p["mlp"]["fc_kernel"] + p["mlp"]["fc_bias"])
+        return x + (h @ p["mlp"]["proj_kernel"] + p["mlp"]["proj_bias"])
     if q8 is not None:
         if mask is not None and not causal:
             raise ValueError(
@@ -83,6 +116,7 @@ def run_transformer(
     kv_len: Optional[int] = None,
     q8: Optional[dict] = None,
     causal: bool = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Apply L stacked residual blocks via lax.scan. ``stacked`` leaves have a
     leading layer axis; ``remat`` enables rematerialisation for memory-bound
@@ -90,13 +124,14 @@ def run_transformer(
     multi_head_attention); ``q8`` is an optional stacked int8 weight pytree
     (ops/quant.py quantize_block_stack) scanned alongside ``stacked``;
     ``causal`` marks ``mask`` as the standard lower-triangular mask so the
-    int8 kernel path can apply it natively."""
+    int8/fused kernel paths can apply it natively; ``fused`` runs the bf16
+    fused-block kernels (ops/block_kernels.py, inference only)."""
 
     def body(h, xs):
         layer_params, layer_q8 = xs
         return residual_block(
             h, layer_params, n_heads, mask=mask, impl=impl, kv_len=kv_len,
-            q8=layer_q8, causal=causal,
+            q8=layer_q8, causal=causal, fused=fused,
         ), None
 
     if remat:

@@ -32,9 +32,11 @@ def encode_image_vit(
     dense: bool = False,
     impl: str = "auto",
     q8: dict = None,
+    fused: bool = False,
 ):
     """``q8``: optional stacked int8 block weights (ops/quant.py
-    quantize_block_stack) — the W8A8 inference path for the TTA engine."""
+    quantize_block_stack) — the W8A8 inference path for the TTA engine.
+    ``fused``: bf16 fused-block pallas kernels (ops/block_kernels.py)."""
     tokens = patchify(x, params["patch_kernel"], patch)
     b, n, width = tokens.shape
     cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype), (b, 1, width))
@@ -52,7 +54,7 @@ def encode_image_vit(
         tokens = jnp.pad(tokens, ((0, 0), (0, t_pad), (0, 0)))
     tokens = run_transformer(
         tokens, params["blocks"], n_heads, impl=impl,
-        kv_len=n_real if t_pad else None, q8=q8,
+        kv_len=n_real if t_pad else None, q8=q8, fused=fused,
     )
     if t_pad:
         tokens = tokens[:, :n_real]
