@@ -186,6 +186,12 @@ def vitl_section(k):
             lambda im, p, q: encode_image_vit(
                 im, p, cfg.vision_heads, 14, dense=True, q8=q)[1],
             (xim, params, q8), n=2)
+    # bf16 fused-block kernels at ViT-L geometry: the 16.8 MB MLP weights
+    # fail fits_vmem_mlp → XLA MLP; the attention kernel must compile at g=1
+    measure(f"ViT-L/14 encoder bf16 FUSED [{B} crops]",
+            lambda im, p: encode_image_vit(
+                im, p, cfg.vision_heads, 14, dense=True, fused=True)[1],
+            (xim, params), n=2)
 
 
 def bf16_fused_section(k):
