@@ -104,9 +104,13 @@ def _make_batch_crop_fn(impl: str, antialias: bool, size: int, shared: bool):
         from ..ops.resize_matmul import crop_and_resize_matmul_batch
 
         def batch_fn(imgs, boxes, content_hw):
+            # boxes [n,4] / content_hw [2]: geometry identical across the
+            # batch, reduced to ONE copy on host (TTAEngine._stage_inputs) —
+            # under a mesh it arrives replicated, so no batch-sharded operand
+            # is ever indexed here (a [0] on one would force a gather).
             crops = crop_and_resize_matmul_batch(
-                imgs, boxes[0], out_size=size, antialias=antialias,
-                content_hw=content_hw[0],
+                imgs, boxes, out_size=size, antialias=antialias,
+                content_hw=content_hw,
             )
             return clip_normalize(crops)
 
@@ -462,12 +466,27 @@ class TTAEngine:
     def _is_shared(self, content: np.ndarray) -> bool:
         """True when every image in the batch has the same content size —
         crop geometry (boxes + interpolation matrices) is then identical
-        across the batch and computed once. Mesh-sharded runs keep the
-        per-image path (the shared matrices would be broadcast, and a [0]
-        index on a batch-sharded operand forces a gather)."""
-        if self.mesh is not None:
+        across the batch, reduced on host to [n,4]/[2] (_stage_inputs) and
+        computed once per batch instead of per image (matrix generation was
+        half the crop-stage time). Mesh runs replicate the reduced geometry,
+        so the shared program indexes no batch-sharded operand."""
+        if self.resize_impl != "matmul":
             return False
         return bool((content == content[0]).all())
+
+    def _stage_inputs(self, padded, boxes, content, shared: bool):
+        """Images → device batch-sharded; crop geometry either batch-sharded
+        alongside (per-image path) or, when ``shared``, reduced to a single
+        [n,4]/[2] copy and replicated over the mesh."""
+        if shared:
+            (im_d,) = self._put_batch(padded)
+            bx, ct = jnp.asarray(boxes[0]), jnp.asarray(content[0])
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                bx, ct = replicate((bx, ct), self.mesh)
+            return im_d, bx, ct
+        return self._put_batch(padded, boxes, content)
 
     def _dump_fn(self, bucket: Tuple[int, int], n_boxes: int, batch: int,
                  shared: bool = False):
@@ -551,7 +570,8 @@ class TTAEngine:
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
-        fn = self._dump_fn(bucket, n, b, shared=self._is_shared(content))
+        shared = self._is_shared(content)
+        fn = self._dump_fn(bucket, n, b, shared=shared)
         groups = self._model_groups()
         bank = self.caption_bank
         if bank is None:
@@ -560,7 +580,7 @@ class TTAEngine:
         cooc = self.cooccurrence
         if cooc is None:
             cooc = self._replicated(jnp.zeros((n_cls, n_cls), jnp.float32))
-        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        im_d, bx_d, ct_d = self._stage_inputs(padded, boxes, content, shared)
         flat = np.asarray(fn(
             self.clip_params, bank, im_d, bx_d, ct_d,
             tuple(g[3] for g in groups), tuple(g[4] for g in groups),
@@ -613,12 +633,13 @@ class TTAEngine:
         images, b0 = self._mesh_pad(images)
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
-        feature_fn = self._feature_fn(bucket, n, b, shared=self._is_shared(content))
+        shared = self._is_shared(content)
+        feature_fn = self._feature_fn(bucket, n, b, shared=shared)
         bank = self.caption_bank
         if bank is None:
             # zero-size placeholder keeps the jit signature stable
             bank = self._replicated(jnp.zeros((1, 1), jnp.float32))
-        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        im_d, bx_d, ct_d = self._stage_inputs(padded, boxes, content, shared)
         feats, aug, scores = feature_fn(
             self.clip_params, bank, im_d, bx_d, ct_d, q8=self._q8
         )
@@ -767,7 +788,7 @@ class TTAEngine:
         padded, boxes, content, bucket = self.prepare_batch(images)
         b, n = boxes.shape[0], boxes.shape[1]
         shared = self._is_shared(content)
-        im_d, bx_d, ct_d = self._put_batch(padded, boxes, content)
+        im_d, bx_d, ct_d = self._stage_inputs(padded, boxes, content, shared)
         return (bucket, n, b, shared, im_d, bx_d, ct_d, b0)
 
     def dispatch_staged_fused(self, staged):

