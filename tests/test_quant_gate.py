@@ -46,6 +46,10 @@ from leclip_tpu.models.dense_clip import encode_captions, train_logits_from_feat
 from leclip_tpu.ops.quant import quantize_block_stack
 from leclip_tpu.parallel.mesh import shard_batch
 
+import pytest
+
+pytestmark = pytest.mark.slow  # ~18 min on the 1-CPU box (convergence run)
+
 CLASSNAMES = ["dog", "cat", "pizza", "bicycle", "car", "bird",
               "chair", "boat", "horse", "clock", "banana", "laptop"]
 

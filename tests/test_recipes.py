@@ -21,6 +21,8 @@ from leclip_tpu.parallel.mesh import shard_batch
 
 import jax
 
+pytestmark = pytest.mark.slow  # four tiny-backbone training runs
+
 
 @pytest.fixture(scope="module")
 def corpus_root(tmp_path_factory):
