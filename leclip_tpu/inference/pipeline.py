@@ -179,8 +179,9 @@ def run_full_inference(
     acc: Dict[str, Dict[str, List[np.ndarray]]] = {}
     sims_all, sims_blocks_all = [], []
     evaluator = MLClassificationEvaluator()
-    for bi, (images, paths) in enumerate(batcher):
-        results = engine.run_batch(images)
+
+    def consume(handle, bi, n_images):
+        results = engine.finish_batch_dump(handle)
         sims = results.pop("_sims")
         sims_all.append(sims["sims_all"])
         sims_blocks_all.append(sims["sims_blocks_all"])
@@ -189,7 +190,20 @@ def run_full_inference(
             for k, v in outs.items():
                 slot[k].append(v)
         if progress:
-            print(f"TTA batch {bi + 1}/{len(batcher)} ({len(images)} images)")
+            print(f"TTA batch {bi + 1}/{len(batcher)} ({n_images} images)")
+
+    # depth-2 dispatch-ahead: batch i's large flat-buffer device→host
+    # transfer overlaps batch i+1's compute (the transfer dominated the
+    # dump path's gap to the fused path on a networked TPU)
+    from collections import deque
+
+    pending = deque()
+    for bi, (images, paths) in enumerate(batcher):
+        pending.append((engine.dispatch_batch_dump(images), bi, len(images)))
+        if len(pending) >= 2:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
 
     data = {
         name: {k: np.concatenate(v)[inv] for k, v in outs.items()}
