@@ -108,7 +108,8 @@ def layer_parts_section(k):
     """Per-part timing of the int8 residual block at TTA shape."""
     from leclip_tpu.models.transformer import init_block_stack, residual_block
     from leclip_tpu.ops.attention import attention_from_qkv
-    from leclip_tpu.ops.quant import int8_matmul_prequant, quantize_weight
+    from leclip_tpu.ops.quant import (int8_matmul_prequant,
+                                      quantize_block_stack, quantize_weight)
     from leclip_tpu.ops.quant_kernels import ln_quant, mlp_int8
 
     B, T = 1220, 200
@@ -154,12 +155,12 @@ def layer_parts_section(k):
                 12, kv_len=197,
             ),
             (x,))
+    # quantize_block_stack layout (equilibrated ln1/ln2 replace the block's
+    # own LN affines in the int8 path)
+    q8_full = quantize_block_stack(jax.tree.map(lambda a: a[None], layer))
+    q8_layer = jax.tree.map(lambda a: a[0], q8_full)
     measure("full residual block int8",
-            lambda a: residual_block(
-                a, layer, 12, kv_len=197,
-                q8={"attn": {"qkv": (qkv_i8, qkv_s)},
-                    "mlp": {"fc": (fc_i8, fc_s), "proj": (pj_i8, pj_s)}},
-            ),
+            lambda a: residual_block(a, layer, 12, kv_len=197, q8=q8_layer),
             (x,))
     measure("full residual block bf16",
             lambda a: residual_block(a, layer, 12, kv_len=197),
