@@ -27,8 +27,10 @@ def main(argv=None):
     ap.add_argument("--corpora", required=True, help="space-separated corpus names")
     ap.add_argument("--out", default="caption_bank.pkl")
     ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--precision", default="default", choices=["default", "int8"],
-                    help="int8 runs the text tower through the W8A8 kernels")
+    ap.add_argument("--precision", default="default",
+                    choices=["default", "bf16", "int8"],
+                    help="int8: W8A8 kernels; bf16: fused bf16 block kernels "
+                         "(no quantization noise)")
     args = ap.parse_args(argv)
 
     from ..data.corpora import load_multi_label_corpus

@@ -103,6 +103,12 @@ class TrainConfig:
     LMPT_LAMBDA: float = 0.5
     int8_captions: bool = False  # W8A8 text tower for the frozen caption
                                  # branch (~1.5x); prompt branch stays fp
+    fused_captions: bool = True  # bf16 fused-block kernels for the frozen
+                                 # caption branch (ops/block_kernels.py);
+                                 # effective on TPU with PREC bf16 only and
+                                 # superseded by int8_captions. At caption
+                                 # shapes fused bf16 beats BOTH XLA and int8
+                                 # (probe_text_fused.py) with no quant noise.
     # Hold out every Nth training caption as a LABELED accuracy probe
     # (0 = off). The competition val split is unlabeled (mAP always 0), so
     # this held-out texts-as-images split is the only way a training run can

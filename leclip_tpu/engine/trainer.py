@@ -77,12 +77,17 @@ def make_train_step(
     adapter: Optional[dict] = None,
     adapter_trainable: bool = False,
     caption_q8: Optional[dict] = None,
+    caption_fused: bool = False,
 ):
     """Build the jitted (state, captions, labels) → (state, metrics) step.
 
     ``caption_q8``: int8 text-tower weights for the FROZEN caption branch
     (TRAIN.int8_captions) — ~1.5× faster caption encoding; the prompt branch
-    keeps full precision (gradients flow through it)."""
+    keeps full precision (gradients flow through it).
+    ``caption_fused``: run the frozen caption branch through the bf16
+    fused-block kernels (ops/block_kernels.py) — at caption shapes they beat
+    both XLA and int8 (scripts/probe_text_fused.py) with no quantization
+    noise. Safe under stop_gradient only; ignored when caption_q8 is set."""
 
     def head(params, caption_feats, clip_p):
         # adapter variant: the adapter rides the prompt path only; when
@@ -142,7 +147,10 @@ def make_train_step(
     # arrays become HLO constants — enormous compile-time cost on big towers)
     @partial(jax.jit, donate_argnums=(2,))
     def _step(clip_p, q8, state: TrainState, captions: jnp.ndarray, labels: jnp.ndarray):
-        caption_feats = encode_captions(clip_p, clip_cfg, captions, flags, q8=q8)
+        caption_feats = encode_captions(
+            clip_p, clip_cfg, captions, flags, q8=q8,
+            fused=caption_fused and q8 is None,
+        )
         if ema:
             # momentum update BEFORE the teacher forward (reference ordering)
             ema_params = ema_update(state.ema_params, state.params, momentum)
@@ -263,13 +271,24 @@ class CaptionDistillTrainer:
                 self.clip_params["text"]["blocks"], mesh=self.mesh
             )
 
+        # fused bf16 caption branch: on by default where it applies — TPU
+        # backend (pallas kernels; interpret mode on CPU is slower than XLA),
+        # bf16 frozen towers, no int8 override. Pure fusion, no quant noise.
+        blocks_dtype = self.clip_params["text"]["blocks"]["ln_1"]["scale"].dtype
+        caption_fused = (
+            cfg.TRAIN.fused_captions
+            and caption_q8 is None
+            and jax.default_backend() == "tpu"
+            and blocks_dtype == jnp.bfloat16
+        )
+
         self._step_kwargs = dict(
             loss_name=cfg.TRAIN.LOSSFUNC, model_kind=cfg.TRAIN.MODEL,
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             co_matrix=co_matrix, resample_params=resample_params,
             lmpt=cfg.TRAIN.LMPT, lmpt_lambda=cfg.TRAIN.LMPT_LAMBDA,
             lmpt_class_counts=lmpt_counts, m_ctx=cfg.TRAINER.M_CTX,
-            caption_q8=caption_q8,
+            caption_q8=caption_q8, caption_fused=caption_fused,
         )
         self.train_step = make_train_step(
             self.clip_params, clip_cfg, self.constants, self.optimizer, self.flags,
@@ -402,6 +421,7 @@ class CaptionDistillAdapterTrainer(CaptionDistillTrainer):
             ema=cfg.TRAIN.ema, momentum=cfg.TRAIN.momentum,
             adapter=self.adapter, adapter_trainable=cfg.TRAINER.adapter_trainable,
             caption_q8=self._step_kwargs.get("caption_q8"),
+            caption_fused=self._step_kwargs.get("caption_fused", False),
         )
 
 

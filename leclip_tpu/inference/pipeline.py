@@ -54,12 +54,24 @@ def build_caption_bank(
     ``precision='int8'`` runs the causal text tower through the W8A8 pallas
     kernels (ops/quant_kernels.py) — ~1.7× faster over a 220k-caption corpus;
     the bank is consumed by top-k retrieval, which is insensitive to the
-    quantization noise (validated in tests/test_quant.py)."""
+    quantization noise (validated in tests/test_quant.py).
+    ``precision='bf16'`` casts the text tower to bf16 and (on TPU) runs it
+    through the fused bf16 block kernels (ops/block_kernels.py) — comparable
+    speed to int8 at text shapes with no quantization noise
+    (scripts/probe_text_fused.py)."""
     q8 = None
+    fused = False
+    text_in = clip_params["text"]
     if precision == "int8":
         from ..ops.quant import quantize_stack_on_device
 
-        q8 = quantize_stack_on_device(clip_params["text"]["blocks"])
+        q8 = quantize_stack_on_device(text_in["blocks"])
+    elif precision == "bf16":
+        text_in = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            text_in,
+        )
+        fused = jax.default_backend() == "tpu" and batch_size % 8 == 0
 
     # params and q8 are jit ARGUMENTS (closure arrays → HLO constants →
     # multi-minute remote compiles)
@@ -68,8 +80,10 @@ def build_caption_bank(
         from ..models.text import encode_text
 
         f = encode_text(
-            text_params, tokens, clip_cfg.transformer_heads, q8=q8_arg
+            text_params, tokens, clip_cfg.transformer_heads, q8=q8_arg,
+            fused=fused,
         )
+        f = f.astype(jnp.float32)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     out = []
@@ -78,7 +92,7 @@ def build_caption_bank(
     toks = np.concatenate([caption_tokens, caption_tokens[: pad or 0]]) if pad else caption_tokens
     for i in range(0, len(toks), batch_size):
         out.append(np.asarray(
-            encode(clip_params["text"], q8,
+            encode(text_in, q8,
                    jnp.asarray(toks[i : i + batch_size], jnp.int32)),
             np.float32,
         ))

@@ -163,18 +163,22 @@ class CaptionFeatures(NamedTuple):
 
 def encode_captions(
     clip_params: dict, clip_cfg: CLIPConfig, captions: jnp.ndarray, flags: DenseFlags,
-    q8: dict = None,
+    q8: dict = None, fused: bool = False,
 ) -> CaptionFeatures:
     """Captions [B, 77] → frozen "image-like" features (no gradients).
 
     ``q8``: optional int8 text-tower weights (ops/quant.py) — safe here
     because this branch is stop_gradient'ed (the int8 kernels have no VJP);
-    the PROMPT branch must stay bf16/fp32 (gradients flow through it)."""
+    the PROMPT branch must stay bf16/fp32 (gradients flow through it).
+    ``fused``: bf16 fused-block kernels (ops/block_kernels.py) — same
+    stop-gradient-only constraint, beats both XLA and int8 at caption shapes
+    with no quantization noise (scripts/probe_text_fused.py)."""
     text = clip_params["text"]
     heads = clip_cfg.transformer_heads
     embeds = text["token_embedding"][captions]
     seq = jax.lax.stop_gradient(
-        encode_text_sequence(text, embeds, heads, impl=flags.attention_impl, q8=q8)
+        encode_text_sequence(text, embeds, heads, impl=flags.attention_impl,
+                             q8=q8, fused=fused)
     )  # [B, L, E]
     eot = captions.argmax(-1)
     global_feat = _normalize(

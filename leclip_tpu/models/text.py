@@ -51,17 +51,22 @@ def _backbone(
     remat: bool = False,
     adapter: dict = None,
     q8: dict = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Embeddings [N, L, W] → post-ln_final features [N, L, W]. ``adapter``
     inserts a residual bottleneck over the transformer output before ln_final
     (the AdapterTextEncoder variant, ref Caption_distill_double_adapter.py:99-112).
     ``q8``: optional stacked int8 block weights (ops/quant.py) — the W8A8
-    causal-attention inference path (not differentiable; eval-side only)."""
+    causal-attention inference path (not differentiable; eval-side only).
+    ``fused``: bf16 fused-block pallas kernels (ops/block_kernels.py) — at
+    text shapes ([1024, 77, 512]×12 layers) they measure 49.1 ms vs 78.2 XLA
+    vs 51.3 int8, i.e. fused bf16 BEATS int8 here with zero quantization
+    noise (scripts/probe_text_fused.py). Inference-only (no VJP)."""
     ctx_len = x.shape[1]
     x = x + params["positional_embedding"][:ctx_len].astype(x.dtype)
     x = run_transformer(
         x, params["blocks"], n_heads, mask=causal_mask(ctx_len), impl=impl,
-        remat=remat, q8=q8, causal=True,
+        remat=remat, q8=q8, causal=True, fused=fused,
     )
     if adapter is not None:
         from .adapter import apply_adapter
@@ -78,11 +83,12 @@ def encode_text_sequence(
     remat: bool = False,
     adapter: dict = None,
     q8: dict = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """All projected token features [N, L, E] — the text-as-image regime where
     every position acts as a spatial feature (ref Caption_distill_double.py:94-96)."""
     x = _backbone(params, embeds, n_heads, impl=impl, remat=remat,
-                  adapter=adapter, q8=q8)
+                  adapter=adapter, q8=q8, fused=fused)
     return x @ params["text_projection"].astype(x.dtype)
 
 
@@ -95,11 +101,12 @@ def encode_text_embeds(
     remat: bool = False,
     adapter: dict = None,
     q8: dict = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """EOT-position features [N, E] from pre-built embeddings; ``eot_idx`` is
     tokens.argmax(-1) — EOT has the highest token id by construction."""
     x = _backbone(params, embeds, n_heads, impl=impl, remat=remat,
-                  adapter=adapter, q8=q8)
+                  adapter=adapter, q8=q8, fused=fused)
     eot = jnp.take_along_axis(x, eot_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     return eot @ params["text_projection"].astype(x.dtype)
 
@@ -112,13 +119,15 @@ def encode_text(
     remat: bool = False,
     sequence: bool = False,
     q8: dict = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Token ids [N, L] → EOT feature [N, E] (or all positions if sequence)."""
     embeds = embed_tokens(params, tokens)
     if sequence:
         return encode_text_sequence(
-            params, embeds, n_heads, impl=impl, remat=remat, q8=q8
+            params, embeds, n_heads, impl=impl, remat=remat, q8=q8, fused=fused
         )
     return encode_text_embeds(
-        params, embeds, tokens.argmax(-1), n_heads, impl=impl, remat=remat, q8=q8
+        params, embeds, tokens.argmax(-1), n_heads, impl=impl, remat=remat,
+        q8=q8, fused=fused,
     )

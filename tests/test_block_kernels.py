@@ -96,6 +96,91 @@ def test_transformer_stack_fused_agrees():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_text_tower_fused_agrees():
+    """encode_text(fused=True) — the caption-branch fast path — reproduces
+    the unfused causal text tower (fp32 interpret mode → tight tolerance)."""
+    from leclip_tpu.models.text import encode_text, init_text_params
+
+    width, layers, heads, ctx = 64, 2, 2, 16
+    params = init_text_params(jax.random.PRNGKey(40), 97, ctx, width, layers, 32)
+    toks = np.zeros((8, ctx), np.int32)
+    rng = np.random.default_rng(0)
+    for i in range(8):  # BPE-like: prefix of tokens, EOT = max id, zero pad
+        n = rng.integers(3, ctx)
+        toks[i, :n] = rng.integers(1, 90, n)
+        toks[i, n] = 96
+    toks = jnp.asarray(toks)
+    for sequence in (False, True):
+        ref = np.asarray(encode_text(params, toks, heads, sequence=sequence),
+                         np.float32)
+        out = np.asarray(
+            encode_text(params, toks, heads, sequence=sequence, fused=True),
+            np.float32,
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_caption_bank_bf16_fused_precision():
+    """build_caption_bank(precision='bf16') agrees with the default fp32 bank
+    at bf16-rounding tolerance (CPU: fused=False — the cast path is what's
+    under test; the kernels themselves are covered above)."""
+    from leclip_tpu.inference.pipeline import build_caption_bank
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+
+    cfg = PRESETS["ViT-TEST"]
+    params = init_clip_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(1)
+    toks = np.zeros((6, cfg.context_length), np.int32)
+    for i in range(6):
+        n = rng.integers(3, cfg.context_length)
+        toks[i, :n] = rng.integers(1, cfg.vocab_size - 2, n)
+        toks[i, n] = cfg.vocab_size - 1
+    ref = build_caption_bank(params, cfg, toks, batch_size=8)
+    out = build_caption_bank(params, cfg, toks, batch_size=8, precision="bf16")
+    assert out.shape == ref.shape
+    cos = (ref * out).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1)
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_train_step_caption_fused_agrees():
+    """One train step with caption_fused=True matches the unfused step
+    (stop-gradient branch only — gradients never touch the fused kernels)."""
+    import optax
+
+    from leclip_tpu.engine.trainer import make_train_step
+    from leclip_tpu.engine.train_state import create_train_state
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.models.dense_clip import DenseFlags
+    from leclip_tpu.models.prompt import build_prompt_learner
+
+    cfg = PRESETS["ViT-TEST"]
+    params = init_clip_params(jax.random.PRNGKey(3), cfg)
+    tr, cs = build_prompt_learner(
+        jax.random.PRNGKey(4), params, ["cat", "dog", "car"], n_ctx=4
+    )
+    opt = optax.sgd(1e-3)
+    rng = np.random.default_rng(2)
+    captions = np.zeros((8, cfg.context_length), np.int32)
+    for i in range(8):
+        n = rng.integers(3, cfg.context_length)
+        captions[i, :n] = rng.integers(1, cfg.vocab_size - 2, n)
+        captions[i, n] = cfg.vocab_size - 1
+    labels = rng.integers(0, 2, (8, 3)).astype(np.float32)
+    outs = []
+    for fused in (False, True):
+        step = make_train_step(params, cfg, cs, opt, DenseFlags(),
+                               caption_fused=fused)
+        state = create_train_state(jax.tree.map(jnp.array, tr), opt)
+        state, aux = step(state, jnp.asarray(captions), jnp.asarray(labels))
+        outs.append((jax.device_get(state.params), float(aux["loss"])))
+    (p0, l0), (p1, l1) = outs
+    assert np.isfinite(l1) and abs(l0 - l1) < 1e-4, (l0, l1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_tta_engine_bf16_fused_end_to_end():
     """TTAEngine(bf16_fused=True) competition scores match the unfused
     engine (bf16 compute in both → bf16-level tolerance)."""
