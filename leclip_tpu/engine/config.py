@@ -95,6 +95,13 @@ class TrainConfig:
     early_stop_epoch: int = -1
     CHECKPOINT_FREQ: int = 1
     PRINT_FREQ: int = 5
+    sync_every: int = 0         # host-sync (metrics fetch + NaN check) every
+                                # N steps; 0 = auto: PRINT_FREQ on TPU (up to
+                                # N steps pipeline on-device — the per-step
+                                # fetch otherwise serialises the ~32 ms
+                                # dispatch round trip with compute), 1
+                                # elsewhere (CPU collectives deadlock past
+                                # ~hundreds of queued steps)
     IF_LEARN_SCALE: bool = False
     IF_LEARN_spatial_SCALE: bool = False
     spatial_SCALE_text: float = 50.0

@@ -344,6 +344,20 @@ class CaptionDistillTrainer:
         meter = MetricMeter()
         writer = MetricsWriter(cfg.OUTPUT_DIR) if cfg.OUTPUT_DIR else None
         t_start = time.time()
+        # Host-sync cadence (TRAIN.sync_every; 0 = auto). The metrics fetch is
+        # the only real sync on this runtime (block_until_ready does not wait
+        # over the tunnel), and fetching every step serialises the ~32 ms
+        # dispatch round trip with compute. TPU auto: sync at PRINT_FREQ
+        # boundaries so up to PRINT_FREQ steps pipeline on-device (measured
+        # RN50 @1024: 139.5 → 112.5 ms/step); NaN detection (reference
+        # detect_anomaly) lags by ≤ sync_every steps. Non-TPU auto keeps the
+        # per-step sync: the CPU in-process communicator deadlocks past
+        # ~hundreds of queued collectives, and tests want immediate NaNs.
+        print_freq = max(cfg.TRAIN.PRINT_FREQ, 1)
+        sync_every = cfg.TRAIN.sync_every
+        if sync_every <= 0:
+            sync_every = print_freq if jax.default_backend() == "tpu" else 1
+        steps_per_epoch = self.batcher.steps_per_epoch()
         for epoch in range(start_epoch, max_epoch):
             t_epoch = time.time()
             for i, batch in enumerate(self.batcher.epoch(epoch)):
@@ -351,14 +365,14 @@ class CaptionDistillTrainer:
                 self.state, metrics = self.train_step(
                     self.state, sb["img"], sb["label"]
                 )
-                # Host-sync every step: detects NaNs immediately (reference
-                # detect_anomaly) and bounds the async dispatch queue (the CPU
-                # in-process communicator deadlocks past ~hundreds of queued
-                # collectives; on TPU the sync is hidden behind the step).
+                n = i + 1
+                if not (n % sync_every == 0 or n % print_freq == 0
+                        or n == steps_per_epoch):
+                    continue
                 host = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(host["loss"]):
                     raise FloatingPointError(f"non-finite loss at epoch {epoch}: {host}")
-                if (i + 1) % max(cfg.TRAIN.PRINT_FREQ, 1) == 0:
+                if n % print_freq == 0:
                     meter.update(host)
                     lr = float(self.lr_fn(int(self.state.step) - 1))
                     print(
