@@ -227,3 +227,23 @@ def test_cooccurrence_loss_path(tmp_path):
     b = shard_batch(next(trainer.batcher.epoch(0)), trainer.mesh)
     _, m = trainer.train_step(trainer.state, b["img"], b["label"])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sync_every_pipelined_loop_identical(tmp_path):
+    """TRAIN.sync_every > 1 (the TPU pipelined host-sync cadence) only changes
+    WHEN metrics are fetched to host, never the update math: a full train()
+    with sync_every=3 (steps_per_epoch=4, so the final partial-cadence step
+    exercises the n == steps_per_epoch sync) must produce bit-identical
+    prompt params to the per-step-synced run."""
+    ref = make_trainer(tmp_path / "a", **{"TRAIN.sync_every": 1,
+                                          "OPTIM.MAX_EPOCH": 2})
+    pipelined = make_trainer(tmp_path / "b", **{"TRAIN.sync_every": 3,
+                                                "OPTIM.MAX_EPOCH": 2})
+    assert pipelined.batcher.steps_per_epoch() == 4  # 64 / 16
+    s_ref = ref.train(resume=False)
+    s_pip = pipelined.train(resume=False)
+    assert int(s_ref.step) == int(s_pip.step) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_ref.params, s_pip.params,
+    )
