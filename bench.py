@@ -11,7 +11,7 @@ BOTH precisions are measured in one run: the W8A8 int8 pallas-kernel path
 tests/test_quant_gate.py) and the unquantized bf16 path. The JSON line
 carries the int8 number as `value` and the bf16 number as `value_bf16`
 so the driver records the pair. BENCH_PREC=int8|bf16 restricts to one
-precision; batch via BENCH_BATCH (default 8).
+precision; batch via BENCH_BATCH (default 16).
 
 Baseline: the reference does ≈9.8M crop-forwards in 10–12 h on an A40
 (≈250 crop-forwards/s; BASELINE.md "Implied reference throughput").
@@ -86,10 +86,11 @@ def main():
     bank.block_until_ready()
 
     rng = np.random.default_rng(0)
-    # 8 images x 305 crops = 2440 crops per dispatch: amortises the fixed
-    # per-batch work (crop gather setup, retrieval top-k, dispatch latency)
-    # vs batch 4 (4896 -> 5023 crop-fwd/s measured)
-    batch_images = int(os.environ.get("BENCH_BATCH", "8"))
+    # 16 images x 305 crops = 4880 crops per dispatch: amortises the fixed
+    # per-batch work (crop gather setup, retrieval top-k, dispatch latency).
+    # Measured int8: batch 4 → 4,896; 8 → 5,286; 16 → 5,312; 32 OOMs HBM
+    # (20.1 G needed vs 15.75 G).
+    batch_images = int(os.environ.get("BENCH_BATCH", "16"))
     images = [
         rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         for _ in range(batch_images)
