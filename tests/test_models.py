@@ -196,3 +196,33 @@ def test_public_api_exports():
     assert "RN50" in leclip_tpu.PRESETS
     assert leclip_tpu.COCO_OBJECT_CATEGORIES[0] == "person"
     assert callable(leclip_tpu.TTAEngine)
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["RN50", "ViT-B/16"])
+def test_convert_infers_full_size_geometry(name):
+    """Shape inference at the REAL checkpoint geometries (ref model.py
+    build_model:435-458): a full-size reference-format state dict must
+    resolve to the exact PRESETS entry, and every converted leaf must match
+    our init layout — the guard that keeps the converter ready for real
+    OpenAI weights (unobtainable here: zero egress). Tiny-config parity
+    tests cover the numerics; this covers the full-scale shape logic
+    (e.g. RN50's 2048-d attnpool vs ViT's width-scaled heads)."""
+    cfg = PRESETS[name]
+    ref = _build_ref(cfg)
+    got_cfg, params = convert_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    assert got_cfg == cfg
+    from leclip_tpu.models.clip import init_clip_params
+
+    ours = init_clip_params(jax.random.PRNGKey(0), cfg)
+    flat_c = jax.tree_util.tree_leaves_with_path(params)
+    flat_o = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(ours)}
+    for path, leaf in flat_c:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_o, f"converted leaf {key} missing from init layout"
+        assert leaf.shape == flat_o[key], (
+            f"{key}: converted {leaf.shape} vs init {flat_o[key]}"
+        )
