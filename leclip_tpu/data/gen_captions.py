@@ -68,6 +68,44 @@ def chatglm_chat(model_name: str = "THUDM/chatglm-6b") -> ChatFn:
     return chat
 
 
+def hf_causal_chat(
+    model,
+    tokenizer,
+    max_new_tokens: int = 256,
+    top_p: float = 0.95,
+    temperature: Optional[float] = None,
+) -> ChatFn:
+    """Generic HuggingFace causal-LM chat adapter: any
+    ``AutoModelForCausalLM``-style model + tokenizer pair. ChatGLM's
+    ``model.chat()`` (ref gen_compositions.py:13-26) is that model's custom
+    wrapper around the same sampling ``generate()`` loop with top_p=0.95 and
+    optional temperature; this adapter reproduces the contract for standard
+    HF checkpoints and returns only the continuation (prompt stripped), like
+    ``model.chat``. Exercised in tests with a locally-instantiated tiny
+    model — no hub access needed."""
+    import torch
+
+    pad_id = tokenizer.pad_token_id
+    if pad_id is None:
+        pad_id = tokenizer.eos_token_id
+
+    def chat(prompt: str) -> str:
+        enc = tokenizer(prompt, return_tensors="pt")
+        kwargs = dict(
+            max_new_tokens=max_new_tokens, do_sample=True, top_p=top_p,
+            pad_token_id=pad_id,
+        )
+        if temperature is not None:
+            kwargs["temperature"] = temperature
+        with torch.no_grad():
+            out = model.generate(**enc, **kwargs)
+        return tokenizer.decode(
+            out[0, enc["input_ids"].shape[1]:], skip_special_tokens=True
+        )
+
+    return chat
+
+
 def sample_composition_pool(
     classnames: Sequence[str] = COCO_OBJECT_CATEGORIES,
     pool_size: int = 10,
