@@ -223,3 +223,54 @@ def test_eval_cli_heterogeneous_nctx_ensemble(workspace, tmp_path):
     preds = json.load(open(impreds))
     assert len(preds) == 3 and len(preds[0]) == 80
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_legacy_launcher_plumbing(tmp_path):
+    """scripts/main.sh, main_mul.sh and main_eval.sh compose the exact CLI
+    the reference's legacy launchers compose (ref scripts/main.sh:7-35,
+    main_eval.sh:17-37, main_mul.sh): positional DATASET CFG CTP NCTX CSC
+    RUN_ID → per-seed output dirs, TRAINER.* opts, and main_eval loading the
+    model dir main.sh wrote. Exercised with a recording `python` shim (the
+    full CLI compute path is covered by the tests above)."""
+    import subprocess
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    rec = tmp_path / "calls.txt"
+    shim = bin_dir / "python"
+    shim.write_text(f"#!/usr/bin/env bash\necho \"$@\" >> {rec}\n")
+    shim.chmod(0o755)
+    env = dict(os.environ, PATH=f"{bin_dir}:{os.environ['PATH']}")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    for script in ["main.sh", "main_mul.sh"]:
+        rec.write_text("")
+        r = subprocess.run(
+            ["bash", f"scripts/{script}", "pazhou_a", "best", "end",
+             "16", "False", "runX", "", "1", "2"],
+            cwd=repo, env=env, capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        calls = rec.read_text().strip().splitlines()
+        assert len(calls) == 2  # one per seed
+        for seed, call in zip(("1", "2"), calls):
+            assert "-m leclip_tpu.cli.train" in call
+            assert "configs/datasets/pazhou_a.yaml" in call
+            assert "configs/trainers/best.yaml" in call
+            assert f"output/runX/best/nctx16_cscFalse_ctpend/seed{seed}" in call
+            assert "TRAINER.N_CTX 16" in call
+            assert "TRAINER.CSC False" in call
+            assert "TRAINER.CLASS_TOKEN_POSITION end" in call
+
+    rec.write_text("")
+    r = subprocess.run(
+        ["bash", "scripts/main_eval.sh", "pazhou_a", "best", "end",
+         "16", "False", "runX", "", "1"],
+        cwd=repo, env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    (call,) = rec.read_text().strip().splitlines()
+    assert "-m leclip_tpu.cli.eval" in call
+    # eval loads the checkpoints the main.sh run above wrote
+    assert "--model-dir output/runX/best/nctx16_cscFalse_ctpend/seed1" in call
+    assert "output/evaluation/runX/best/nctx16_cscFalse_ctpend/seed1/impreds.json" in call
