@@ -58,8 +58,13 @@ def main(argv=None):
     args = parse_args(argv)
     from ..engine.config import setup_config
     from ..engine.trainer import CaptionDistillTrainer
+    from ..parallel.multihost import initialize as multihost_initialize
     from ..utils.logging import set_random_seed, setup_logger
 
+    # joins the multi-process runtime on TPU pods (auto-detected); no-op on
+    # a single host — the SPMD analogue of the reference's
+    # dist.init_process_group (train_caption.py:176-179)
+    multihost_initialize()
     cfg = setup_config(
         dataset_yaml=args.dataset_config,
         trainer_yaml=args.trainer_config,

@@ -256,16 +256,20 @@ class CLIPFineTuner:
         global array, and the contrastive arange-diagonal stays correct
         (duplicated per-process data would give every caption P-1 identical
         "negatives")."""
+        from ..parallel.multihost import is_primary
+
         step_fn = self._build_raw_step()
         writer = None
         start_epoch = 0
+        primary = is_primary()  # rank-0 persistence gate (see trainer.train)
         if output_dir:
             from .metrics import MetricsWriter
 
-            writer = MetricsWriter(output_dir)
+            if primary:
+                writer = MetricsWriter(output_dir)
             if resume:
                 start_epoch = self.resume(output_dir, name)
-                if start_epoch:
+                if start_epoch and primary:
                     print(f"resumed {name} at epoch {start_epoch} "
                           f"(step {int(self.state.step)})")
         for epoch in range(start_epoch, epochs):
@@ -287,12 +291,13 @@ class CLIPFineTuner:
                         {"loss": loss, "acc": float(metrics["acc"])},
                         int(self.state.step), prefix="finetune/",
                     )
-                if (i + 1) % log_every == 0:
+                if (i + 1) % log_every == 0 and primary:
                     print(f"epoch {epoch} step {i + 1}: loss {loss:.4f}")
-            if output_dir:
+            if output_dir and primary:
                 self.save(output_dir, name, epoch)
                 writer.flush()
-            print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+            if primary:
+                print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
         if writer is not None:
             writer.close()
         return self.state

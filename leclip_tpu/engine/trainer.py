@@ -40,6 +40,7 @@ from ..models.dense_clip import (
 from ..models.prompt import assemble_prompts, build_prompt_learner, ema_update
 from ..ops import losses as L
 from ..parallel.mesh import data_mesh, replicate, shard_batch
+from ..parallel.multihost import is_primary
 from ..utils.logging import MetricMeter
 from ..utils.registry import TRAINER_REGISTRY
 from .metrics import MetricsWriter
@@ -342,7 +343,12 @@ class CaptionDistillTrainer:
             )
         max_epoch = cfg.OPTIM.MAX_EPOCH
         meter = MetricMeter()
-        writer = MetricsWriter(cfg.OUTPUT_DIR) if cfg.OUTPUT_DIR else None
+        # rank-0 gate for everything that persists or prints (reference:
+        # rank-gated checkpointing Caption_distill_double.py:576-587 and
+        # printing dassl/engine/trainer.py:656); every process computes the
+        # identical replicated state, exactly one writes it.
+        primary = is_primary()
+        writer = MetricsWriter(cfg.OUTPUT_DIR) if (cfg.OUTPUT_DIR and primary) else None
         t_start = time.time()
         # Host-sync cadence (TRAIN.sync_every; 0 = auto). The metrics fetch is
         # the only real sync on this runtime (block_until_ready does not wait
@@ -372,7 +378,7 @@ class CaptionDistillTrainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 if not np.isfinite(host["loss"]):
                     raise FloatingPointError(f"non-finite loss at epoch {epoch}: {host}")
-                if n % print_freq == 0:
+                if n % print_freq == 0 and primary:
                     meter.update(host)
                     lr = float(self.lr_fn(int(self.state.step) - 1))
                     print(
@@ -382,17 +388,19 @@ class CaptionDistillTrainer:
                     if writer is not None:
                         writer.write_scalars(host, int(self.state.step), prefix="train/")
                         writer.write_scalar("train/lr", lr, int(self.state.step))
-            if cfg.TRAIN.CHECKPOINT_FREQ > 0 and (
+            if primary and cfg.TRAIN.CHECKPOINT_FREQ > 0 and (
                 (epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0 or epoch + 1 == max_epoch
             ):
                 path = save_checkpoint(self.state, cfg.OUTPUT_DIR, self.model_name, epoch)
                 print(f"checkpoint → {path} ({time.time() - t_epoch:.1f}s/epoch)")
             if 0 <= cfg.TRAIN.early_stop_epoch <= epoch + 1:
-                print(f"early stop at epoch {epoch + 1}")
+                if primary:
+                    print(f"early stop at epoch {epoch + 1}")
                 break
         if writer is not None:
             writer.close()
-        print(f"training done in {time.time() - t_start:.1f}s")
+        if primary:
+            print(f"training done in {time.time() - t_start:.1f}s")
         return self.state
 
 
