@@ -116,6 +116,11 @@ def main(argv=None):
     if args.caption_bank and os.path.exists(args.caption_bank):
         with open(args.caption_bank, "rb") as f:
             bank = pickle.load(f)
+        # accept the reference's own bank artifact (a pickled torch.Tensor,
+        # generate_caption_text_features.py:93-97) as well as our ndarray
+        import numpy as np
+
+        bank = np.asarray(bank, np.float32)
     freq = None
     if args.freq_stats and os.path.exists(args.freq_stats):
         with open(args.freq_stats, "rb") as f:

@@ -84,14 +84,32 @@ def load_prompt_params(
 ) -> dict:
     """Eval-load: just the trainable prompt pytree for model ``name``.
 
-    Accepts both ``model.ckpt`` (pointer/best copies) and ``model.ckpt-{e}``."""
+    Accepts ``model.ckpt`` (pointer/best copies), ``model.ckpt-{e}``, and —
+    for users migrating trained models from the reference — the reference's
+    own ``model.pth.tar[-e]`` torch checkpoints (ref layout
+    ``best_model/{name}/model.pth.tar``, Caption_distill_double.py:906-938),
+    converted on the fly by ``models.convert.load_prompt_checkpoint``.
+    Reference checkpoints carry no EMA twin; ``use_ema`` on one falls back
+    to the saved (student) params — the reference exports its EMA variant as
+    a separate model directory ('ema'), not as a twin inside the file."""
     if epoch is not None:
         path = join(directory, name, f"model.ckpt-{epoch}")
+        if not os.path.exists(path):
+            legacy = join(directory, name, f"model.pth.tar-{epoch}")
+            path = legacy if os.path.exists(legacy) else path
     else:
         direct = join(directory, name, "model.ckpt")
         path = direct if os.path.exists(direct) else latest_checkpoint(directory, name)
+        if path is None:
+            legacy = join(directory, name, "model.pth.tar")
+            path = legacy if os.path.exists(legacy) else path
     if path is None or not os.path.exists(path):
         raise FileNotFoundError(f"no checkpoint for {name!r} under {directory!r}")
+    if "model.pth.tar" in os.path.basename(path):
+        from ..models.convert import load_prompt_checkpoint
+
+        trainable, _ = load_prompt_checkpoint(path)
+        return jax.tree.map(jnp.asarray, trainable)
     payload = load_checkpoint(path)
     key = "ema_params" if use_ema else "params"
     return jax.tree.map(jnp.asarray, payload[key])

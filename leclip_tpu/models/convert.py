@@ -193,3 +193,48 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[CLIPConfig, dict]:
 def load_clip_weights(path: str) -> Tuple[CLIPConfig, dict]:
     """Load an OpenAI CLIP checkpoint file into (config, params)."""
     return convert_state_dict(load_torch_state_dict(path))
+
+
+_PROMPT_KEYS = (
+    "ctx", "ctx_double", "ctx_evidence",
+    "temperature", "spatial_T", "ranking_scale",
+)
+
+
+def load_prompt_checkpoint(path: str) -> Tuple[dict, int]:
+    """Convert a reference-trained prompt checkpoint (``model.pth.tar[-N]``)
+    into this framework's trainable prompt pytree.
+
+    The reference registers only the ``prompt_learner`` module, so its
+    checkpoints are ``{"state_dict": {ctx, ctx_double, ctx_evidence,
+    temperature, spatial_T, ranking_scale, token_prefix, token_suffix,
+    token_suffix_nocls}, "epoch": N, "optimizer": ..., "scheduler": ...}``
+    (ref: register_model Caption_distill_double.py:773-776, save format
+    dassl/utils/torchtools.py:27-82). Frozen token buffers are dropped —
+    they are rebuilt from the current class list at load time, exactly like
+    the reference's strict=False load (Caption_distill_double.py:929-938).
+
+    Returns ``(trainable, epoch)`` with fp32 arrays (the reference trains
+    fp32 after clip_model.float(); fp16-PREC checkpoints are upcast).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload)
+
+    def norm(k: str) -> str:
+        for prefix in ("module.", "prompt_learner."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        return k
+
+    sd = {norm(k): v for k, v in sd.items()}
+    missing = [k for k in _PROMPT_KEYS if k not in sd]
+    if missing:
+        raise KeyError(
+            f"{path} is not a reference prompt checkpoint (missing {missing}; "
+            f"has {sorted(sd)})"
+        )
+    trainable = {k: _t(sd[k]).astype(np.float32) for k in _PROMPT_KEYS}
+    epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
+    return trainable, epoch

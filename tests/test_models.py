@@ -226,3 +226,55 @@ def test_convert_infers_full_size_geometry(name):
         assert leaf.shape == flat_o[key], (
             f"{key}: converted {leaf.shape} vs init {flat_o[key]}"
         )
+
+
+def test_load_reference_prompt_checkpoint(tmp_path):
+    """Migration path: the reference's trained `model.pth.tar` prompt
+    checkpoints (best_model/{name}/ layout, Caption_distill_double.py:906-938)
+    load directly through engine.checkpoint.load_prompt_params, token buffers
+    dropped and fp16 upcast to fp32."""
+    import torch
+
+    from leclip_tpu.engine.checkpoint import load_prompt_params
+    from leclip_tpu.models.convert import load_prompt_checkpoint
+
+    torch.manual_seed(3)
+    sd = {
+        "ctx": torch.randn(16, 512, dtype=torch.float16),
+        "ctx_double": torch.randn(16, 512, dtype=torch.float16),
+        "ctx_evidence": torch.randn(16, 512, dtype=torch.float16),
+        "temperature": torch.tensor(3.25, dtype=torch.float16),
+        "spatial_T": torch.tensor(2.5, dtype=torch.float16),
+        "ranking_scale": torch.tensor(4.0, dtype=torch.float16),
+        # frozen buffers the reference saves but strips at load
+        "token_prefix": torch.randn(80, 1, 512),
+        "token_suffix": torch.randn(80, 60, 512),
+        "token_suffix_nocls": torch.randn(80, 60, 512),
+    }
+    mdir = tmp_path / "best"
+    mdir.mkdir()
+    torch.save({"state_dict": sd, "epoch": 15, "optimizer": {"x": 1}},
+               str(mdir / "model.pth.tar"))
+
+    trainable, epoch = load_prompt_checkpoint(str(mdir / "model.pth.tar"))
+    assert epoch == 15
+    assert sorted(trainable) == sorted(
+        ["ctx", "ctx_double", "ctx_evidence", "temperature", "spatial_T", "ranking_scale"]
+    )
+    assert trainable["ctx"].dtype == np.float32
+    np.testing.assert_allclose(trainable["ctx"], sd["ctx"].float().numpy())
+
+    # the eval loader picks it up from the reference directory layout, both
+    # by pointerless default and by explicit epoch suffix
+    via_loader = load_prompt_params(str(tmp_path), "best")
+    np.testing.assert_allclose(np.asarray(via_loader["spatial_T"]), 2.5)
+    torch.save({"state_dict": sd, "epoch": 4}, str(mdir / "model.pth.tar-4"))
+    via_epoch = load_prompt_params(str(tmp_path), "best", epoch=4)
+    np.testing.assert_allclose(
+        np.asarray(via_epoch["ctx_double"]), sd["ctx_double"].float().numpy()
+    )
+
+    # clear failure on a non-prompt torch payload
+    torch.save({"state_dict": {"whatever": torch.zeros(3)}}, str(mdir / "bad.pth"))
+    with pytest.raises(KeyError):
+        load_prompt_checkpoint(str(mdir / "bad.pth"))
