@@ -43,47 +43,14 @@ def main():
     def log(msg):
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
-    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
-    from leclip_tpu.inference.tta import TTAEngine, build_model_spec
-    from leclip_tpu.models.clip import PRESETS, init_clip_params
-    from leclip_tpu.models.dense_clip import DenseFlags
-    from leclip_tpu.models.prompt import build_prompt_learner
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from _synth import synth_engine_inputs
 
-    clip_cfg = PRESETS["ViT-B/16"]
-    # Generate params ON THE DEVICE inside one jitted program — host-side
-    # generation + device_put would ship ~300MB through the axon tunnel.
-    log("initialising ViT-B/16 params on device…")
-    init_fn = jax.jit(
-        lambda key: init_clip_params(key, clip_cfg, dtype=jnp.bfloat16)
-    )
-    clip_params = init_fn(jax.random.PRNGKey(0))
-    jax.tree.map(lambda x: x.block_until_ready(), clip_params)
+    from leclip_tpu.inference.tta import TTAEngine
 
-    log("building 6 ensemble specs…")
-    flags = DenseFlags(use_evidence=True)
-    # prompt scaffolding (tokenize + tiny embedding lookups) built on CPU from
-    # a host copy of the token embedding; trainables are a few hundred KB
-    token_emb_host = np.asarray(jax.device_get(clip_params["text"]["token_embedding"]))
-    host_clip_stub = {"text": {"token_embedding": token_emb_host}}
-    specs = {}
-    for i, name in enumerate(["best", "ema", "zema", "diff", "diffh", "difft"]):
-        trainable, constants = build_prompt_learner(
-            jax.random.PRNGKey(i), host_clip_stub, COCO_OBJECT_CATEGORIES,
-            n_ctx=16, dtype=jnp.bfloat16,
-        )
-        specs[name] = build_model_spec(
-            clip_params, clip_cfg, trainable, constants,
-            flags if name in ("best", "difft") else DenseFlags(),
-        )
-
-    log("building 220k caption bank on device…")
-    @jax.jit
-    def bank_fn(key):
-        b = jax.random.normal(key, (220_000, clip_cfg.embed_dim), jnp.bfloat16)
-        return b / jnp.linalg.norm(b.astype(jnp.float32), axis=-1, keepdims=True).astype(jnp.bfloat16)
-
-    bank = bank_fn(jax.random.PRNGKey(7))
-    bank.block_until_ready()
+    # the canonical synthetic setup shared with scripts/rehearsal.py and the
+    # probes — see scripts/_synth.py
+    clip_cfg, clip_params, specs, bank = synth_engine_inputs(log=log)
 
     rng = np.random.default_rng(0)
     # 16 images x 305 crops = 4880 crops per dispatch: amortises the fixed

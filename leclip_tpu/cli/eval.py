@@ -73,9 +73,6 @@ def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
     from ..engine.config import resolve_test_precision
 
     prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
-    if prec == "int8" and not clip_cfg.is_vit:
-        print("note: TEST.PREC int8 needs a ViT backbone — falling back to bf16")
-        prec = "bf16"
     if prec != cfg.TEST.PREC:
         print(f"TEST.PREC {cfg.TEST.PREC!r} resolved to {prec!r} for "
               f"{'ViT' if clip_cfg.is_vit else 'ResNet'} backbone")

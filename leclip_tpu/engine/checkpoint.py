@@ -79,6 +79,27 @@ def restore_train_state(state: TrainState, payload: dict) -> TrainState:
     )
 
 
+def _latest_legacy_checkpoint(model_dir: str) -> Optional[str]:
+    """Newest reference-format checkpoint in a model dir: ``model.pth.tar``
+    if present, else the highest-numbered ``model.pth.tar-{e}`` (the
+    reference's save suffixing, dassl/utils/torchtools.py:61-71)."""
+    if not os.path.isdir(model_dir):
+        return None
+    tars = [f for f in os.listdir(model_dir) if f.startswith("model.pth.tar")]
+    if not tars:
+        return None
+    def rank(f: str) -> int:
+        suffix = f[len("model.pth.tar"):]
+        if not suffix:
+            return 10**9  # unsuffixed = "the best model" (ref load_model default)
+        try:
+            return int(suffix.lstrip("-"))
+        except ValueError:
+            return -1
+    tars.sort(key=rank)
+    return join(model_dir, tars[-1])
+
+
 def load_prompt_params(
     directory: str, name: str, epoch: Optional[int] = None, use_ema: bool = False
 ) -> dict:
@@ -101,8 +122,7 @@ def load_prompt_params(
         direct = join(directory, name, "model.ckpt")
         path = direct if os.path.exists(direct) else latest_checkpoint(directory, name)
         if path is None:
-            legacy = join(directory, name, "model.pth.tar")
-            path = legacy if os.path.exists(legacy) else path
+            path = _latest_legacy_checkpoint(join(directory, name))
     if path is None or not os.path.exists(path):
         raise FileNotFoundError(f"no checkpoint for {name!r} under {directory!r}")
     if "model.pth.tar" in os.path.basename(path):

@@ -259,24 +259,47 @@ def _set_typed(node: Any, leaf: str, value: Any) -> None:
     object.__setattr__(node, leaf, value)
 
 
-def resolve_test_precision(prec: str, clip_cfg) -> str:
-    """Resolve TEST.PREC for a backbone.
+def resolve_test_precision(prec: str, clip_cfg, backend: Optional[str] = None) -> str:
+    """Resolve TEST.PREC for a backbone — the single owner of the
+    precision/backbone/backend compatibility rules.
 
     'auto' → the fastest precision whose accuracy is gate-validated for this
     tower: int8 (W8A8 pallas kernels) for ViT backbones whose width fills the
-    TPU's 128-lane int8 tiles, bf16 otherwise (ResNet towers are conv-bound;
-    the int8 transformer kernels don't apply). The int8 default is backed by
-    the task-level probe-mAP gate in tests/test_quant_gate.py (delta vs fp
-    well inside the reference's ±0.2 tolerance, ref README.md:12-13);
-    explicit 'fp32' reproduces the reference's clip_model.float() numerics.
+    TPU's 128-lane int8 tiles, ON a TPU backend — elsewhere the pallas
+    kernels would run in interpreter mode, orders of magnitude slower — and
+    bf16 otherwise (ResNet towers are conv-bound; the int8 transformer
+    kernels don't apply — measured no-go in scripts/probe_rn50_int8.py).
+    The int8 default is backed by the task-level probe-mAP gate in
+    tests/test_quant_gate.py (delta vs fp well inside the reference's ±0.2
+    tolerance, ref README.md:12-13); explicit 'fp32' reproduces the
+    reference's clip_model.float() numerics. An explicit 'int8' that the
+    engine would reject (non-ViT backbone, non-128-multiple width) degrades
+    to bf16 with a warning instead of crashing in TTAEngine.
     """
     if prec not in ("auto", "fp32", "bf16", "int8"):
         raise ValueError(f"TEST.PREC must be auto | fp32 | bf16 | int8, got {prec!r}")
-    if prec != "auto":
-        return prec
-    if getattr(clip_cfg, "is_vit", False) and clip_cfg.vision_width % 128 == 0:
-        return "int8"
-    return "bf16"
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    int8_ok = (
+        getattr(clip_cfg, "is_vit", False)
+        and clip_cfg.vision_width % 128 == 0
+        and backend == "tpu"
+    )
+    if prec == "auto":
+        return "int8" if int8_ok else "bf16"
+    if prec == "int8" and not int8_ok:
+        import warnings
+
+        warnings.warn(
+            "TEST.PREC int8 needs a ViT backbone with 128-multiple width on a "
+            f"TPU backend (got {'ViT' if getattr(clip_cfg, 'is_vit', False) else 'ResNet'}"
+            f" width {getattr(clip_cfg, 'vision_width', '?')} on {backend!r}) — "
+            "falling back to bf16"
+        )
+        return "bf16"
+    return prec
 
 
 def default_config() -> Config:

@@ -616,7 +616,6 @@ class TTAEngine:
             off += sz
             return out
 
-        sims_saved = None
         per_model = {}
         for names, *_ in groups:
             m = len(names)
@@ -866,28 +865,50 @@ class TTAEngine:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, stage_ahead))
         err: list = []
+        stop = threading.Event()  # set when the consumer exits for ANY reason
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer is gone — a plain
+            # q.put would block forever (pinning staged device buffers and a
+            # live thread) if the generator is abandoned or raises mid-pass
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for images in batches:
-                    q.put(self.stage_batch_fused(images))
+                    if stop.is_set() or not _put(self.stage_batch_fused(images)):
+                        return
             except BaseException as e:  # re-raised on the consumer thread
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         pending = deque()
-        while True:
-            staged = q.get()
-            if staged is None:
-                break
-            pending.append(self.dispatch_staged_fused(staged))
-            if len(pending) >= depth:
+        try:
+            while True:
+                staged = q.get()
+                if staged is None:
+                    break
+                pending.append(self.dispatch_staged_fused(staged))
+                if len(pending) >= depth:
+                    yield np.asarray(pending.popleft(), np.float32)
+            while pending:
                 yield np.asarray(pending.popleft(), np.float32)
-        while pending:
-            yield np.asarray(pending.popleft(), np.float32)
-        t.join()
+        finally:
+            stop.set()
+            try:  # drain so a producer mid-put can observe `stop` and exit
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
         if err:
             raise err[0]

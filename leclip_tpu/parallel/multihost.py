@@ -53,10 +53,17 @@ def initialize(
         return
     if coordinator_address is None and num_processes is None and process_id is None:
         # Auto-detect (TPU pod metadata / SLURM / Open MPI). Outside any such
-        # environment this raises — treat that as single-process.
+        # environment this raises — that absence is normal and means
+        # single-process. But when cluster markers ARE present, a failure is
+        # a real pod-join error (coordinator unreachable, bad metadata) and
+        # MUST propagate: falling back silently would leave every host with
+        # process_count()==1 — all of them "primary", all training on the
+        # full dataset, concurrently clobbering the same checkpoint paths.
         try:
             jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 — absence of a cluster env is normal
+        except Exception:
+            if _cluster_env_detected():
+                raise
             return
         return
     jax.distributed.initialize(
@@ -65,6 +72,27 @@ def initialize(
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
+
+
+def _cluster_env_detected() -> bool:
+    """True only on evidence of a MULTI-process environment. Presence alone
+    is not enough: single-chip tunnels set TPU_WORKER_HOSTNAMES=localhost,
+    and a 1-task SLURM allocation is still single-process."""
+    import os
+
+    env = os.environ
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS") or env.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    for var in ("OMPI_COMM_WORLD_SIZE", "SLURM_NTASKS"):
+        try:
+            if int(env.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def is_primary() -> bool:

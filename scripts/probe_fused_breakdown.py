@@ -25,47 +25,17 @@ from _bench import measure
 
 
 def main():
-    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
-    from leclip_tpu.inference.tta import (
-        TTAEngine,
-        _make_batch_crop_fn,
-        build_model_spec,
-    )
-    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.inference.tta import TTAEngine, _make_batch_crop_fn
     from leclip_tpu.models.dense_clip import (
-        DenseFlags,
         encode_image_features,
         retrieval_augment,
     )
-    from leclip_tpu.models.prompt import build_prompt_learner
 
     precision = os.environ.get("PROBE_PREC", "int8")
     batch = int(os.environ.get("PROBE_BATCH", "16"))
-    clip_cfg = PRESETS["ViT-B/16"]
-    init_fn = jax.jit(lambda key: init_clip_params(key, clip_cfg, dtype=jnp.bfloat16))
-    clip_params = init_fn(jax.random.PRNGKey(0))
-    token_emb_host = np.asarray(jax.device_get(clip_params["text"]["token_embedding"]))
-    host_stub = {"text": {"token_embedding": token_emb_host}}
-    flags = DenseFlags(use_evidence=True)
-    specs = {}
-    for i, name in enumerate(["best", "ema", "zema", "diff", "diffh", "difft"]):
-        tr, cs = build_prompt_learner(
-            jax.random.PRNGKey(i), host_stub, COCO_OBJECT_CATEGORIES,
-            n_ctx=16, dtype=jnp.bfloat16,
-        )
-        specs[name] = build_model_spec(
-            clip_params, clip_cfg, tr, cs,
-            flags if name in ("best", "difft") else DenseFlags(),
-        )
+    from _synth import synth_engine_inputs
 
-    @jax.jit
-    def bank_fn(key):
-        b = jax.random.normal(key, (220_000, clip_cfg.embed_dim), jnp.bfloat16)
-        return b / jnp.linalg.norm(
-            b.astype(jnp.float32), axis=-1, keepdims=True
-        ).astype(jnp.bfloat16)
-
-    bank = bank_fn(jax.random.PRNGKey(7))
+    clip_cfg, clip_params, specs, bank = synth_engine_inputs()
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=(2, 3, 4), caption_bank=bank,
         compute_dtype=jnp.bfloat16, precision=precision,

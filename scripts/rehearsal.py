@@ -95,10 +95,7 @@ def main():
 
     from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
     from leclip_tpu.inference.pipeline import run_full_inference
-    from leclip_tpu.inference.tta import TTAEngine, build_model_spec
-    from leclip_tpu.models.clip import PRESETS, init_clip_params
-    from leclip_tpu.models.dense_clip import DenseFlags
-    from leclip_tpu.models.prompt import build_prompt_learner
+    from leclip_tpu.inference.tta import TTAEngine
 
     def log(msg):
         print(f"[rehearsal {time.strftime('%H:%M:%S')}] {msg}",
@@ -128,38 +125,10 @@ def main():
         paths = make_corpus(corpus_dir, args.images, args.seed)
         log(f"corpus written in {time.time() - t0:.0f}s")
 
-    # ---- model / engine (identical construction to bench.py) ---------------
-    clip_cfg = PRESETS["ViT-B/16"]
-    log("initialising ViT-B/16 params on device…")
-    init_fn = jax.jit(lambda key: init_clip_params(key, clip_cfg, dtype=jnp.bfloat16))
-    clip_params = init_fn(jax.random.PRNGKey(0))
-    jax.tree.map(lambda x: x.block_until_ready(), clip_params)
+    # ---- model / engine (identical construction to bench.py, by import) ----
+    from _synth import synth_engine_inputs
 
-    flags = DenseFlags(use_evidence=True)
-    token_emb_host = np.asarray(jax.device_get(clip_params["text"]["token_embedding"]))
-    host_clip_stub = {"text": {"token_embedding": token_emb_host}}
-    specs = {}
-    for i, name in enumerate(["best", "ema", "zema", "diff", "diffh", "difft"]):
-        trainable, constants = build_prompt_learner(
-            jax.random.PRNGKey(i), host_clip_stub, COCO_OBJECT_CATEGORIES,
-            n_ctx=16, dtype=jnp.bfloat16,
-        )
-        specs[name] = build_model_spec(
-            clip_params, clip_cfg, trainable, constants,
-            flags if name in ("best", "difft") else DenseFlags(),
-        )
-
-    log("building 220k caption bank on device…")
-
-    @jax.jit
-    def bank_fn(key):
-        b = jax.random.normal(key, (220_000, clip_cfg.embed_dim), jnp.bfloat16)
-        return b / jnp.linalg.norm(
-            b.astype(jnp.float32), axis=-1, keepdims=True
-        ).astype(jnp.bfloat16)
-
-    bank = bank_fn(jax.random.PRNGKey(7))
-    bank.block_until_ready()
+    clip_cfg, clip_params, specs, bank = synth_engine_inputs(log=log)
 
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=(2, 3, 4),

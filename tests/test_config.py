@@ -113,18 +113,31 @@ def test_reference_recipe_map_complete():
 
 def test_resolve_test_precision():
     """TEST.PREC 'auto' → int8 only for ViT towers that fill the TPU's
-    128-lane int8 tiles; explicit values pass through; fp32 stays available
-    for bit-level reference parity."""
+    128-lane int8 tiles AND a TPU backend (interpreted pallas elsewhere);
+    an engine-incompatible explicit int8 degrades to bf16 with a warning;
+    fp32 stays available for bit-level reference parity."""
+    import warnings
+
     import pytest
 
     from leclip_tpu.engine.config import resolve_test_precision
     from leclip_tpu.models.clip import PRESETS
 
-    assert resolve_test_precision("auto", PRESETS["ViT-B/16"]) == "int8"
-    assert resolve_test_precision("auto", PRESETS["ViT-L/14"]) == "int8"
-    assert resolve_test_precision("auto", PRESETS["RN50"]) == "bf16"
-    assert resolve_test_precision("auto", PRESETS["ViT-TEST"]) == "bf16"  # width 64
-    for explicit in ("fp32", "bf16", "int8"):
-        assert resolve_test_precision(explicit, PRESETS["RN50"]) == explicit
+    assert resolve_test_precision("auto", PRESETS["ViT-B/16"], backend="tpu") == "int8"
+    assert resolve_test_precision("auto", PRESETS["ViT-L/14"], backend="tpu") == "int8"
+    assert resolve_test_precision("auto", PRESETS["RN50"], backend="tpu") == "bf16"
+    assert resolve_test_precision("auto", PRESETS["ViT-TEST"], backend="tpu") == "bf16"  # width 64
+    # non-TPU backends never auto-select the pallas int8 path
+    assert resolve_test_precision("auto", PRESETS["ViT-B/16"], backend="cpu") == "bf16"
+    assert resolve_test_precision("auto", PRESETS["ViT-B/16"]) == "bf16"  # test backend is cpu
+    for explicit in ("fp32", "bf16"):
+        assert resolve_test_precision(explicit, PRESETS["RN50"], backend="tpu") == explicit
+    assert resolve_test_precision("int8", PRESETS["ViT-B/16"], backend="tpu") == "int8"
+    # explicit int8 the engine would reject degrades instead of crashing later
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert resolve_test_precision("int8", PRESETS["RN50"], backend="tpu") == "bf16"
+        assert resolve_test_precision("int8", PRESETS["ViT-B/16"], backend="cpu") == "bf16"
+    assert len(caught) == 2
     with pytest.raises(ValueError):
         resolve_test_precision("fp16", PRESETS["RN50"])

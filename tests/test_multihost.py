@@ -119,3 +119,41 @@ def test_two_process_training_matches_single_process(tmp_path):
     for got, want in zip(_leaves(jax.tree_util.tree_map(np.asarray, state1.params)),
                          _leaves(results[0]["params_step1"])):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cluster_env_detection_requires_multiworker_evidence(monkeypatch):
+    """Single-chip tunnels export TPU_WORKER_HOSTNAMES=localhost — that must
+    NOT count as a pod (initialize() would then turn the benign
+    'backend already initialised' condition into a crash); multi-entry
+    hostnames / >1 task counts / coordinator addresses must."""
+    from leclip_tpu.parallel.multihost import _cluster_env_detected
+
+    for var in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "JAX_COORDINATOR_ADDRESS", "OMPI_COMM_WORLD_SIZE", "SLURM_NTASKS"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _cluster_env_detected()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not _cluster_env_detected()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    assert _cluster_env_detected()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert not _cluster_env_detected()
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert _cluster_env_detected()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    assert _cluster_env_detected()
+
+
+def test_initialize_noop_outside_cluster(monkeypatch):
+    """initialize() with no args on a non-cluster box (backend already up)
+    must be a silent no-op, not a crash."""
+    import jax
+
+    from leclip_tpu.parallel.multihost import initialize, is_primary
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    jax.devices()  # ensure the backend is initialised
+    initialize()   # would raise without the single-worker exemption
+    assert is_primary()

@@ -1,5 +1,6 @@
 """TTA inference engine: bucket padding, census, multi-model scoring."""
 
+import time
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -315,3 +316,46 @@ def test_run_batch_single_dispatch_matches_multidispatch(setup, rng):
     again = engine.run_batch(images)
     again.pop("_sims")
     assert pickle.dumps(fast) == pickle.dumps(again)
+
+
+def test_run_batches_fused_staged_clean_and_abandoned(setup, rng):
+    """The producer-thread driver must (a) match run_batch_fused on a clean
+    pass, and (b) reap its producer thread — releasing staged device buffers
+    — when the consumer abandons the generator or the producer raises
+    (review finding: an unbounded q.put would block the thread forever)."""
+    import threading
+
+    clip_params, specs = setup
+    engine = TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+    batches = [
+        [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8) for _ in range(2)]
+        for _ in range(4)
+    ]
+    want = [np.asarray(engine.run_batch_fused(b), np.float32) for b in batches]
+    got = list(engine.run_batches_fused_staged(iter(batches), depth=2))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+    before = threading.active_count()
+    # consumer abandons the generator after one item: producer must not stay
+    # blocked in q.put
+    gen = engine.run_batches_fused_staged(iter(batches * 4), depth=2,
+                                          stage_ahead=1)
+    next(gen)
+    gen.close()
+    deadline = time.time() + 15
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+    # producer exception propagates to the consumer
+    def bad_batches():
+        yield batches[0]
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(engine.run_batches_fused_staged(bad_batches(), depth=2))
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
