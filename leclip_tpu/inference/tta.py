@@ -251,12 +251,11 @@ class TTAEngine:
             if self.caption_bank is not None:
                 if self.shard_bank:
                     n_dev = int(np.prod(list(mesh.shape.values())))
-                    # wrap-padding may duplicate up to n_dev-1 rows; a
-                    # duplicate can displace the k-th unique retrieval hit —
-                    # negligible at competition bank sizes (220k % 8 == 0
-                    # anyway), noted for tiny custom banks
+                    # zero-pad (NOT wrap): the sharded search masks zero-norm
+                    # rows, so padded banks retrieve identically to the
+                    # replicated path at any size
                     padded_bank, _ = pad_to_multiple(
-                        np.asarray(self.caption_bank), n_dev
+                        np.asarray(self.caption_bank), n_dev, mode="zero"
                     )
                     self.caption_bank = shard_along(
                         jnp.asarray(padded_bank), mesh, axis=mesh.axis_names[0]

@@ -66,12 +66,24 @@ def shard_along(tree, mesh: Mesh, axis: str = "data", dim: int = 0):
     return jax.tree.map(put, tree)
 
 
-def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
-    """Pad (by wrapping) so an axis divides the mesh size; returns (padded,
-    original_length)."""
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0,
+                    mode: str = "wrap"):
+    """Pad so an axis divides the mesh size; returns (padded, original_length).
+
+    mode='wrap' repeats leading rows — right for batches, where padded rows'
+    outputs are discarded by original_length. mode='zero' appends zero rows —
+    right for a retrieval BANK, where a wrapped duplicate could occupy two
+    top-k slots (the sharded search masks zero-norm rows instead)."""
     n = array.shape[axis]
     pad = (-n) % multiple
     if pad == 0:
         return array, n
-    take = np.take(array, np.arange(pad) % n, axis=axis)
+    if mode == "zero":
+        shape = list(array.shape)
+        shape[axis] = pad
+        take = np.zeros(shape, dtype=array.dtype)
+    elif mode == "wrap":
+        take = np.take(array, np.arange(pad) % n, axis=axis)
+    else:
+        raise ValueError(f"mode must be wrap | zero, got {mode!r}")
     return np.concatenate([array, take], axis=axis), n

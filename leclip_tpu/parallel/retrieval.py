@@ -63,6 +63,10 @@ def retrieval_augment_sharded(
                 "be,ne->bn", gf, chunk,
                 preferred_element_type=jnp.bfloat16 if shard_rows > 4096 else jnp.float32,
             )
+            # zero-norm rows are pad rows (real bank rows are L2-normalised,
+            # mesh.pad_to_multiple(mode='zero')): never retrieve them
+            valid = jnp.sum(chunk.astype(jnp.float32) ** 2, axis=-1) > 0.5
+            sims = jnp.where(valid[None, :], sims, jnp.asarray(-1e9, sims.dtype))
             if shard_rows > 4096:
                 s, i = jax.lax.approx_max_k(sims, topk, recall_target=0.95)
             else:

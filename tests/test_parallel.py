@@ -105,6 +105,24 @@ def test_retrieval_augment_sharded_matches_replicated():
     sa = np.asarray(scores_s)
     assert (np.diff(sa, axis=-1) <= 1e-7).all()
 
+    # non-divisible bank: zero-padded rows must be masked out of the search,
+    # so the padded sharded run still equals the replicated run on the
+    # ORIGINAL rows (wrap-padding would let a duplicate occupy two k slots)
+    from leclip_tpu.parallel.mesh import pad_to_multiple
+
+    odd = bank[:67]
+    padded, n0 = pad_to_multiple(odd, mesh.shape["data"], mode="zero")
+    assert n0 == 67 and padded.shape[0] == 72
+    aug_s2, scores_s2 = retrieval_augment_sharded(
+        gf_d, shard_along(jnp.asarray(padded), mesh), K, mesh
+    )
+    aug_r2, scores_r2 = retrieval_augment(jnp.asarray(gf), jnp.asarray(odd), K,
+                                          exact=True)
+    np.testing.assert_allclose(np.asarray(aug_s2), np.asarray(aug_r2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scores_s2), np.asarray(scores_r2),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_tta_engine_sharded_bank_matches_replicated():
     """TTAEngine(shard_bank=True): bank rows live once across the mesh (1/8
@@ -127,7 +145,9 @@ def test_tta_engine_sharded_bank_matches_replicated():
     )
     spec = build_model_spec(clip_params, tiny, trainable, constants, DenseFlags())
     rng = np.random.default_rng(2)
-    bank = jnp.asarray(rng.normal(size=(80, 32)).astype(np.float32))
+    # 83 rows: NOT divisible by the 8-device mesh — the engine zero-pads to
+    # 88 and the sharded search masks the pad rows
+    bank = jnp.asarray(rng.normal(size=(83, 32)).astype(np.float32))
     images = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
               for _ in range(3)]
     mesh = data_mesh()
@@ -137,9 +157,9 @@ def test_tta_engine_sharded_bank_matches_replicated():
     sharded = TTAEngine(clip_params, tiny, {"best": spec}, scales=(2,),
                         crop_size=64, caption_bank=bank, topk=5,
                         mesh=mesh, shard_bank=True)
-    # the bank really is row-sharded: each device holds 10 of 80 rows
+    # the bank really is row-sharded: each device holds 11 of the 88 padded
     shard0 = sharded.caption_bank.addressable_shards[0]
-    assert shard0.data.shape == (10, 32)
+    assert shard0.data.shape == (11, 32)
 
     f_plain = plain.run_batch_fused(images)
     f_shard = sharded.run_batch_fused(images)
