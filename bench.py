@@ -49,8 +49,11 @@ def main():
     from leclip_tpu.inference.tta import TTAEngine
 
     # the canonical synthetic setup shared with scripts/rehearsal.py and the
-    # probes — see scripts/_synth.py
-    clip_cfg, clip_params, specs, bank = synth_engine_inputs(log=log)
+    # probes — see scripts/_synth.py. BENCH_PRESET=RN50 measures the
+    # reference's shipped backbone (bf16 only: int8 conv is a measured no-go,
+    # scripts/probe_rn50_int8.py).
+    preset = os.environ.get("BENCH_PRESET", "ViT-B/16")
+    clip_cfg, clip_params, specs, bank = synth_engine_inputs(preset, log=log)
 
     rng = np.random.default_rng(0)
     # 16 images x 305 crops = 4880 crops per dispatch: amortises the fixed
@@ -98,7 +101,12 @@ def main():
         return crops_per_sec
 
     only = os.environ.get("BENCH_PREC", "")
-    precisions = [only] if only else ["int8", "bf16"]
+    if only:
+        precisions = [only]
+    elif clip_cfg.is_vit:
+        precisions = ["int8", "bf16"]
+    else:
+        precisions = ["bf16"]
     results = {p: measure(p) for p in precisions}
 
     # int8 is the headline AND the production default for ViT towers
@@ -106,7 +114,7 @@ def main():
     # the bf16 pair rides along so the record always carries both.
     primary = "int8" if "int8" in results else precisions[0]
     out = {
-        "metric": "ViT-B/16 multi-scale TTA crop-forwards/sec/chip (6-model ensemble, 305 crops/img)",
+        "metric": f"{preset} multi-scale TTA crop-forwards/sec/chip (6-model ensemble, 305 crops/img)",
         "value": round(results[primary], 2),
         "unit": "crop-forwards/sec",
         "vs_baseline": round(results[primary] / BASELINE_CROPS_PER_SEC, 2),

@@ -108,19 +108,23 @@ def init_clip_params(key, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
 def clip_encode_image(
     params: dict, cfg: CLIPConfig, images: jnp.ndarray,
     dense: bool = False, if_pos: bool = True, impl: str = "auto",
-    q8: dict = None, fused: bool = False,
+    q8: dict = None, fused: bool = False, pool_map: bool = True,
 ):
     """Images [B, H, W, 3] (normalized) → global embedding [B, E]; with
     ``dense`` also the per-position embeddings. ``q8``: optional stacked
     int8 transformer weights (W8A8 inference path, ViT only); ``fused``:
-    bf16 fused-block kernels (inference, ViT only)."""
+    bf16 fused-block kernels (inference, ViT only). ``pool_map=False``
+    (RN only): skip the attention pool's per-position output — dense
+    callers that project the trunk map themselves get the single-query
+    fast pool (identical global feature)."""
     if cfg.is_vit:
         return encode_image_vit(
             images, params["visual"], cfg.vision_heads, cfg.vision_patch_size,
             dense=dense, impl=impl, q8=q8, fused=fused,
         )
     return encode_image_resnet(
-        images, params["visual"], cfg.vision_heads, dense=dense, if_pos=if_pos
+        images, params["visual"], cfg.vision_heads, dense=dense, if_pos=if_pos,
+        pool_map=pool_map,
     )
 
 

@@ -288,6 +288,11 @@ def encode_image_features(
     out = clip_encode_image(
         clip_params, clip_cfg, images, dense=True, if_pos=False,
         impl=flags.attention_impl, q8=q8, fused=fused,
+        # RN dense features come from project_dense on the trunk map below —
+        # the pool's per-position output is never consumed (ref
+        # Caption_distill_double.py:369-373,409-413), so use the
+        # single-query pool
+        pool_map=False,
     )
     if clip_cfg.is_vit:
         global_raw, tokens = out  # ViT dense tokens are already projected

@@ -17,7 +17,7 @@ at inference (the tower is always frozen in this framework).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,12 +91,22 @@ def interpolate_pos_embedding(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def attention_pool(
-    feat: jnp.ndarray, p: dict, n_heads: int, if_pos: bool = True
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    feat: jnp.ndarray, p: dict, n_heads: int, if_pos: bool = True,
+    global_only: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """QKV attention pool over a [B, H, W, C] feature map.
 
     Prepends the spatial mean as a query token; returns
-    (global [B, out], feature_map [B, H, W, out])."""
+    (global [B, out], feature_map [B, H, W, out]).
+
+    ``global_only=True`` computes ONLY the mean-token query's attention row —
+    mathematically identical global output, but q_proj/attention/c_proj run
+    on 1 token instead of HW+1 and no head transposes are materialised
+    (the dense branch of the method never consumes the pool's per-position
+    output: it projects the TRUNK map via project_dense, ref
+    Caption_distill_double.py:369-373,409-411 — so the full [T, T] attention
+    is wasted work there; measured 48.8 → ~13 ms per 2,440 crops).
+    Returns (global, None)."""
     b, h, w, c = feat.shape
     x = feat.reshape(b, h * w, c)
     x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)  # [B, HW+1, C]
@@ -107,11 +117,25 @@ def attention_pool(
     def proj(y, name):
         return y @ p[name]["kernel"].astype(y.dtype) + p[name]["bias"].astype(y.dtype)
 
-    q, k, v = proj(x, "q_proj"), proj(x, "k_proj"), proj(x, "v_proj")
     t = x.shape[1]
+    hd = c // n_heads
+    if global_only:
+        q = proj(x[:, :1], "q_proj").reshape(b, 1, n_heads, hd)
+        k = proj(x, "k_proj").reshape(b, t, n_heads, hd)
+        v = proj(x, "v_proj").reshape(b, t, n_heads, hd)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * (hd ** -0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        out = proj(out.reshape(b, 1, c), "c_proj")
+        return out[:, 0], None
+
+    q, k, v = proj(x, "q_proj"), proj(x, "k_proj"), proj(x, "v_proj")
 
     def heads(y):
-        return y.reshape(b, t, n_heads, c // n_heads).transpose(0, 2, 1, 3)
+        return y.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
 
     out = attention_core(heads(q), heads(k), heads(v))
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
@@ -140,10 +164,17 @@ def resnet_features(x: jnp.ndarray, params: dict) -> jnp.ndarray:
 
 
 def encode_image_resnet(
-    x: jnp.ndarray, params: dict, n_heads: int, dense: bool = False, if_pos: bool = True
+    x: jnp.ndarray, params: dict, n_heads: int, dense: bool = False,
+    if_pos: bool = True, pool_map: bool = True,
 ):
+    """``pool_map=False`` (dense callers that project the trunk map
+    themselves) and the non-dense path both use the single-query pool —
+    identical global feature, ~3.7× cheaper pool (see attention_pool)."""
     feat = resnet_features(x, params)
-    g, fmap = attention_pool(feat, params["attnpool"], n_heads, if_pos=if_pos)
+    global_only = (not dense) or (not pool_map)
+    g, fmap = attention_pool(
+        feat, params["attnpool"], n_heads, if_pos=if_pos, global_only=global_only
+    )
     if dense:
         return g, fmap, feat
     return g

@@ -25,6 +25,7 @@ from _bench import measure
 
 
 def main():
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
     from leclip_tpu.inference.tta import TTAEngine, _make_batch_crop_fn
     from leclip_tpu.models.dense_clip import (
         encode_image_features,
@@ -33,9 +34,10 @@ def main():
 
     precision = os.environ.get("PROBE_PREC", "int8")
     batch = int(os.environ.get("PROBE_BATCH", "16"))
+    preset = os.environ.get("PROBE_PRESET", "ViT-B/16")
     from _synth import synth_engine_inputs
 
-    clip_cfg, clip_params, specs, bank = synth_engine_inputs()
+    clip_cfg, clip_params, specs, bank = synth_engine_inputs(preset)
     engine = TTAEngine(
         clip_params, clip_cfg, specs, scales=(2, 3, 4), caption_bank=bank,
         compute_dtype=jnp.bfloat16, precision=precision,

@@ -278,3 +278,24 @@ def test_load_reference_prompt_checkpoint(tmp_path):
     torch.save({"state_dict": {"whatever": torch.zeros(3)}}, str(mdir / "bad.pth"))
     with pytest.raises(KeyError):
         load_prompt_checkpoint(str(mdir / "bad.pth"))
+
+
+def test_attention_pool_global_only_matches_full():
+    """The single-query fast pool must produce the same global feature as
+    the full pool, with and without positional embeddings (the dense TTA
+    path and finetuning both ride it)."""
+    from leclip_tpu.models.resnet import attention_pool
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
+    feat = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 2, 256))
+    for if_pos in (True, False):
+        g_full, fmap = attention_pool(
+            feat, params["visual"]["attnpool"], TINY_RN.vision_heads, if_pos=if_pos
+        )
+        g_fast, none = attention_pool(
+            feat, params["visual"]["attnpool"], TINY_RN.vision_heads,
+            if_pos=if_pos, global_only=True,
+        )
+        assert none is None and fmap is not None
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_full),
+                                   rtol=1e-5, atol=1e-6)
