@@ -1,0 +1,291 @@
+"""Inference service — the production-serving face of the TTA engine.
+
+Serves the full competition scoring path (native JPEG decode → crop pyramid
+→ encoder → ensemble fuse/route) over HTTP with request **micro-batching**:
+concurrent requests are grouped into one fused device dispatch (up to
+``--batch-size`` images, waiting at most ``--max-wait-ms`` after the first
+arrival), so throughput under load approaches the chip bench instead of
+paying one dispatch per request. The reference has no serving story — its
+inference is the 10-12 h batch `test.sh` pass; this module is the
+deployment-shaped wrapper around the same math.
+
+Endpoints (stdlib http.server — zero dependencies):
+  GET  /healthz  → {"status": "ok", "models": [...], "crops_per_image": N}
+  GET  /classes  → {"classes": [...80 names...]}
+  POST /score    → body: a single JPEG (Content-Type: image/jpeg), or JSON
+                   {"images": ["<base64 jpeg>", ...]}.
+                   → {"scores": [[...C floats...], ...],
+                      "topk": [[{"label": ..., "score": ...}, ...], ...]}
+
+Usage:
+    python -m leclip_tpu.cli.serve --weights RN50.pt --model-dir best_model \
+        [--caption-bank bank.pkl] [--port 8000] [--batch-size 8] \
+        [--topk 5] [KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import queue
+import threading
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("images", "event", "scores", "error")
+
+    def __init__(self, images: List[np.ndarray]):
+        self.images = images
+        self.event = threading.Event()
+        self.scores: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class ScoringService:
+    """Micro-batching wrapper around TTAEngine.run_batch_fused.
+
+    A single worker thread drains the request queue, packs images from
+    waiting requests into one fused dispatch (padding by repetition to the
+    engine's static batch — XLA never recompiles), and fans scores back out.
+    Thread-safe; the HTTP layer below is just one consumer of it."""
+
+    def __init__(self, engine, classnames: Sequence[str],
+                 batch_size: int = 8, max_wait_ms: float = 5.0,
+                 max_queue: int = 256):
+        self.engine = engine
+        self.classnames = list(classnames)
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ------------------------------ client API ------------------------------
+    def score(self, images: List[np.ndarray], timeout: float = 120.0) -> np.ndarray:
+        req = _Request(images)
+        self.queue.put(req, timeout=5.0)
+        if not req.event.wait(timeout):
+            raise TimeoutError("scoring timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.scores
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=10.0)
+
+    # ------------------------------ worker ----------------------------------
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            n_images = len(first.images)
+            deadline = time.perf_counter() + self.max_wait
+            # micro-batch: absorb whatever arrives within the window, up to
+            # the engine's batch capacity
+            while n_images < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                n_images += len(nxt.images)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: List[_Request]):
+        images: List[np.ndarray] = []
+        for req in batch:
+            images.extend(req.images)
+        try:
+            # chunk oversized micro-batches at engine batch size; pad the
+            # tail by repetition so every dispatch hits a compiled program
+            scores = []
+            for i in range(0, len(images), self.batch_size):
+                chunk = images[i : i + self.batch_size]
+                n0 = len(chunk)
+                while len(chunk) < self.batch_size:
+                    chunk.append(chunk[n0 - 1])
+                out = np.asarray(self.engine.run_batch_fused(chunk), np.float32)
+                scores.append(out[:n0])
+            flat = np.concatenate(scores)
+        except Exception as e:  # noqa: BLE001 — fanned back to each caller
+            for req in batch:
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+            return
+        off = 0
+        for req in batch:
+            req.scores = flat[off : off + len(req.images)]
+            off += len(req.images)
+            req.event.set()
+
+    # ------------------------------ formatting ------------------------------
+    def topk_labels(self, scores: np.ndarray, k: int = 5):
+        out = []
+        for row in scores:
+            idx = np.argsort(-row)[:k]
+            out.append([
+                {"label": self.classnames[i], "score": float(row[i])} for i in idx
+            ])
+        return out
+
+
+def make_handler(service: ScoringService, topk: int):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "models": list(service.engine.models),
+                    "crops_per_image": 1 + service.engine.n_blocks,
+                })
+            elif self.path == "/classes":
+                self._send(200, {"classes": service.classnames})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                from ..runtime.jpeg import decode_bytes_batch
+
+                if ctype.startswith("application/json"):
+                    blobs = [base64.b64decode(s)
+                             for s in json.loads(body)["images"]]
+                else:
+                    blobs = [body]
+                images = decode_bytes_batch(blobs)
+                scores = service.score(images)
+                self._send(200, {
+                    "scores": [[float(x) for x in row] for row in scores],
+                    "topk": service.topk_labels(scores, topk),
+                })
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+    return Handler
+
+
+def build_service(cfg, clip_params, clip_cfg, model_dir: str,
+                  caption_bank=None, freq_stats=None,
+                  classnames: Optional[Sequence[str]] = None,
+                  batch_size: int = 8, max_wait_ms: float = 5.0) -> ScoringService:
+    """Engine construction shared with cli.eval (same specs/precision/flags),
+    minus the dataset — serving scores ad-hoc images against the standard
+    class list."""
+    import jax.numpy as jnp
+
+    from ..data.vocab import COCO_OBJECT_CATEGORIES
+    from ..engine.config import resolve_test_precision
+    from ..inference.pipeline import load_ensemble_specs
+    from ..inference.tta import TTAEngine
+    from ..ops.ensemble import normalized_cooccurrence
+
+    classnames = list(classnames or COCO_OBJECT_CATEGORIES)
+    specs = load_ensemble_specs(cfg, clip_params, clip_cfg, classnames, model_dir)
+    cooc = None
+    if freq_stats is not None and cfg.TEST.use_freq:
+        cooc = normalized_cooccurrence(
+            np.asarray(freq_stats["adj"], np.float32),
+            np.asarray(freq_stats["nums"], np.float32),
+        )
+    prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
+    engine = TTAEngine(
+        clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
+        caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
+        cooccurrence=cooc, use_freq=False,
+        topk=cfg.TEST.retrieval_topk,
+        block_threshold=cfg.TEST.block_threshold,
+        block_coef=cfg.TEST.block_fuse_coef,
+        crop_size=clip_cfg.image_resolution,
+        compute_dtype=jnp.bfloat16 if prec != "fp32" else jnp.float32,
+        precision="int8" if prec == "int8" else "bf16",
+    )
+    return ScoringService(engine, classnames, batch_size=batch_size,
+                          max_wait_ms=max_wait_ms)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="leclip_tpu scoring service")
+    ap.add_argument("--trainer-config", default="")
+    ap.add_argument("--weights", default="")
+    ap.add_argument("--backbone", default="")
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--caption-bank", default="")
+    ap.add_argument("--freq-stats", default="")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("opts", nargs=argparse.REMAINDER)
+    args = ap.parse_args(argv)
+
+    import os
+    import pickle
+
+    from http.server import ThreadingHTTPServer
+
+    from ..engine.config import setup_config
+    from .train import load_clip
+
+    cfg = setup_config(trainer_yaml=args.trainer_config, opts=args.opts,
+                       eval_only=True)
+    clip_cfg, clip_params = load_clip(cfg, args)
+    bank = freq = None
+    if args.caption_bank and os.path.exists(args.caption_bank):
+        with open(args.caption_bank, "rb") as f:
+            bank = np.asarray(pickle.load(f), np.float32)
+    if args.freq_stats and os.path.exists(args.freq_stats):
+        with open(args.freq_stats, "rb") as f:
+            freq = pickle.load(f)
+
+    service = build_service(cfg, clip_params, clip_cfg, args.model_dir,
+                            caption_bank=bank, freq_stats=freq,
+                            batch_size=args.batch_size,
+                            max_wait_ms=args.max_wait_ms)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service, args.topk))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(batch {args.batch_size}, max-wait {args.max_wait_ms} ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

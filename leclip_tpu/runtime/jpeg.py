@@ -79,14 +79,31 @@ def _pil_decode(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.uint8)
 
 
+def _pil_decode_bytes(blob: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(blob)) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
 def decode_batch(paths: Sequence[str], threads: int = 8) -> List[np.ndarray]:
     """Decode JPEG files → list of [H, W, 3] uint8 arrays (native when
     possible; non-JPEG or failed files fall back to PIL)."""
     lib = _load()
     if not lib:
         return [_pil_decode(p) for p in paths]
+    return decode_bytes_batch([open(p, "rb").read() for p in paths], threads)
 
-    blobs = [open(p, "rb").read() for p in paths]
+
+def decode_bytes_batch(blobs: Sequence[bytes], threads: int = 8) -> List[np.ndarray]:
+    """Decode in-memory JPEG blobs (the serving path — no filesystem round
+    trip); same native/PIL-fallback behavior as :func:`decode_batch`."""
+    lib = _load()
+    if not lib:
+        return [_pil_decode_bytes(b) for b in blobs]
+
     n = len(blobs)
     hs = (ctypes.c_int * n)()
     ws = (ctypes.c_int * n)()
@@ -117,7 +134,7 @@ def decode_batch(paths: Sequence[str], threads: int = 8) -> List[np.ndarray]:
     result: List[np.ndarray] = []
     for i in range(n):
         if outs[i] is None or rc[i] != 0:
-            result.append(_pil_decode(paths[i]))
+            result.append(_pil_decode_bytes(blobs[i]))
         else:
             result.append(outs[i])
     return result

@@ -1,0 +1,143 @@
+"""Serving layer: HTTP scoring service with request micro-batching over the
+fused TTA engine (cli/serve.py). Runs a real ThreadingHTTPServer on an
+ephemeral port and drives it with concurrent urllib clients."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from leclip_tpu.cli.serve import ScoringService, make_handler
+from leclip_tpu.inference.tta import TTAEngine, build_model_spec
+from leclip_tpu.models.clip import CLIPConfig, init_clip_params
+from leclip_tpu.models.dense_clip import DenseFlags
+from leclip_tpu.models.prompt import build_prompt_learner
+
+CLASSNAMES = ["dog", "cat", "person", "pizza"]
+
+TINY = CLIPConfig(
+    embed_dim=32, image_resolution=64, vision_layers=(1, 1, 1, 1),
+    vision_width=8, vision_patch_size=None, transformer_width=64,
+    transformer_heads=2, transformer_layers=2,
+)
+
+
+def _jpeg_bytes(rng, h=96, w=128) -> bytes:
+    from PIL import Image
+
+    arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def service():
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    trainable, constants = build_prompt_learner(
+        jax.random.PRNGKey(1), clip_params, CLASSNAMES, n_ctx=4
+    )
+    spec = build_model_spec(clip_params, TINY, trainable, constants, DenseFlags())
+    engine = TTAEngine(clip_params, TINY, {"best": spec}, scales=(2,), crop_size=64)
+    svc = ScoringService(engine, CLASSNAMES, batch_size=4, max_wait_ms=30.0)
+    yield svc
+    svc.close()
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, topk=2))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_healthz_and_classes(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["models"] == ["best"]
+    assert health["crops_per_image"] >= 2
+    with urllib.request.urlopen(f"{server}/classes", timeout=30) as r:
+        assert json.loads(r.read())["classes"] == CLASSNAMES
+
+
+def test_score_single_jpeg_matches_engine(server, service, rng):
+    blob = _jpeg_bytes(rng)
+    req = urllib.request.Request(
+        f"{server}/score", data=blob, headers={"Content-Type": "image/jpeg"}
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert len(out["scores"]) == 1 and len(out["scores"][0]) == len(CLASSNAMES)
+    assert len(out["topk"][0]) == 2
+    assert out["topk"][0][0]["label"] in CLASSNAMES
+    # parity with a direct engine call on the same decoded image
+    from leclip_tpu.runtime.jpeg import decode_bytes_batch
+
+    img = decode_bytes_batch([blob])[0]
+    direct = np.asarray(service.score([img]), np.float32)
+    np.testing.assert_allclose(np.asarray(out["scores"]), direct, rtol=1e-4, atol=1e-4)
+
+
+def test_score_json_batch(server, rng):
+    blobs = [_jpeg_bytes(rng) for _ in range(3)]
+    payload = json.dumps(
+        {"images": [base64.b64encode(b).decode() for b in blobs]}
+    ).encode()
+    req = urllib.request.Request(
+        f"{server}/score", data=payload,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert len(out["scores"]) == 3
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_microbatching_groups_concurrent_requests(service, rng):
+    """Concurrent single-image requests inside the wait window must be
+    served in FEWER engine dispatches than requests (the point of serving
+    through a batcher), with each caller getting its own row back."""
+    imgs = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8) for _ in range(4)]
+    # distinct images → distinct rows, so crosstalk would be visible
+    singles = [np.asarray(service.score([im]), np.float32) for im in imgs]
+
+    calls = []
+    real = service.engine.run_batch_fused
+
+    def counting(images):
+        calls.append(len(images))
+        return real(images)
+
+    service.engine.run_batch_fused = counting
+    try:
+        results = [None] * 4
+        def worker(i):
+            results[i] = np.asarray(service.score([imgs[i]]), np.float32)
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        service.engine.run_batch_fused = real
+    assert sum(calls) <= 2 * 4  # padded dispatches, not one per request
+    assert len(calls) < 4, f"no micro-batching happened: {calls}"
+    for i in range(4):
+        np.testing.assert_allclose(results[i], singles[i], rtol=1e-5, atol=1e-5)
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{server}/nope", timeout=30)
+    assert e.value.code == 404
