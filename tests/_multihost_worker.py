@@ -16,11 +16,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
-jax.config.update("jax_default_matmul_precision", "float32")
+# NOTE: no jax.config side effects at import time — the parent test imports
+# this module for synth() with its own (already-initialised) backend; the
+# worker configuration happens inside main() in the fresh subprocess.
 
 import numpy as np  # noqa: E402
 
@@ -40,6 +38,12 @@ def synth(n, seed, classnames):
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "float32")
+
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     outdir = sys.argv[4]
 
