@@ -39,55 +39,17 @@ def parse_args(argv=None):
 
 def run_eval(cfg, clip_params, clip_cfg, model_dir, caption_bank=None,
              freq_stats=None, out_json="impreds.json", save_dir="", batch_size=8):
-    import jax.numpy as jnp
-
     from ..data.datasets import build_dataset
-    from ..inference.pipeline import load_ensemble_specs, run_full_inference
-    from ..inference.tta import TTAEngine
-    from ..ops.ensemble import normalized_cooccurrence
+    from ..inference.pipeline import (
+        load_ensemble_specs,
+        make_engine,
+        run_full_inference,
+    )
 
     dataset = build_dataset(cfg)
     specs = load_ensemble_specs(cfg, clip_params, clip_cfg, dataset.classnames, model_dir)
-
-    # TEST.use_freq is the master switch; WHICH members get co-occurrence
-    # modulation is per-member (ModelSpec.use_freq from the run_eval.sh
-    # grouping: best/difft only — ref run_eval.sh:17-40)
-    cooc = None
-    if freq_stats is not None and cfg.TEST.use_freq:
-        cooc = normalized_cooccurrence(
-            np.asarray(freq_stats["adj"], np.float32),
-            np.asarray(freq_stats["nums"], np.float32),
-        )
-    import jax
-
-    from ..parallel.mesh import data_mesh
-
-    # multi-chip slice → batch-shard the TTA engine over a 1-D data mesh
-    # (skipped on the virtual CPU mesh used by tests — engine-level mesh
-    # behavior is covered by tests/test_tta.py::test_engine_mesh_sharded_*)
-    mesh = (
-        data_mesh()
-        if jax.device_count() > 1 and jax.default_backend() != "cpu"
-        else None
-    )
-    from ..engine.config import resolve_test_precision
-
-    prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
-    if prec != cfg.TEST.PREC:
-        print(f"TEST.PREC {cfg.TEST.PREC!r} resolved to {prec!r} for "
-              f"{'ViT' if clip_cfg.is_vit else 'ResNet'} backbone")
-    engine = TTAEngine(
-        clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
-        caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
-        cooccurrence=cooc, use_freq=False,
-        topk=cfg.TEST.retrieval_topk,
-        block_threshold=cfg.TEST.block_threshold,
-        block_coef=cfg.TEST.block_fuse_coef,
-        crop_size=clip_cfg.image_resolution,
-        mesh=mesh,
-        compute_dtype=jnp.float32 if prec == "fp32" else jnp.bfloat16,
-        precision="int8" if prec == "int8" else "bf16",
-    )
+    engine = make_engine(cfg, clip_params, clip_cfg, specs,
+                         caption_bank=caption_bank, freq_stats=freq_stats)
     images = dataset.test_images
     if not images:
         raise SystemExit("no test images found — check DATASET.ROOT / imnames json")

@@ -68,6 +68,8 @@ class ScoringService:
 
     # ------------------------------ client API ------------------------------
     def score(self, images: List[np.ndarray], timeout: float = 120.0) -> np.ndarray:
+        if not images:
+            raise ValueError("score() needs at least one image")
         req = _Request(images)
         self.queue.put(req, timeout=5.0)
         if not req.event.wait(timeout):
@@ -79,6 +81,15 @@ class ScoringService:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=10.0)
+        # fail anything still queued so blocked callers wake immediately
+        # instead of sleeping out their full score() timeout
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "service closed"
+            req.event.set()
 
     # ------------------------------ worker ----------------------------------
     def _loop(self):
@@ -169,7 +180,21 @@ class ScoringService:
         return out
 
 
-def make_handler(service: ScoringService, topk: int):
+def _declared_pixels(blob: bytes) -> int:
+    """Header-parse the image dimensions WITHOUT decoding (a crafted JPEG
+    declaring 60000x60000 would otherwise allocate ~10 GB at decode)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(blob)) as im:
+        w, h = im.size
+    return w * h
+
+
+def make_handler(service: ScoringService, topk: int,
+                 max_body_bytes: int = 64 << 20, max_images: int = 64,
+                 max_pixels: int = 64_000_000):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -199,6 +224,19 @@ def make_handler(service: ScoringService, topk: int):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body_bytes:
+                    # drain in bounded chunks (memory stays capped) so the
+                    # client finishes sending and actually receives the 413
+                    # instead of a broken pipe
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    self.close_connection = True
+                    self._send(413, {"error": f"body exceeds {max_body_bytes} bytes"})
+                    return
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 from ..runtime.jpeg import decode_bytes_batch
@@ -208,6 +246,16 @@ def make_handler(service: ScoringService, topk: int):
                              for s in json.loads(body)["images"]]
                 else:
                     blobs = [body]
+                if not blobs:
+                    self._send(400, {"error": "no images in request"})
+                    return
+                if len(blobs) > max_images:
+                    self._send(400, {"error": f"too many images (> {max_images})"})
+                    return
+                for b in blobs:
+                    if _declared_pixels(b) > max_pixels:
+                        self._send(400, {"error": f"image exceeds {max_pixels} pixels"})
+                        return
                 images = decode_bytes_batch(blobs)
                 scores = service.score(images)
                 self._send(200, {
@@ -227,37 +275,17 @@ def build_service(cfg, clip_params, clip_cfg, model_dir: str,
                   caption_bank=None, freq_stats=None,
                   classnames: Optional[Sequence[str]] = None,
                   batch_size: int = 8, max_wait_ms: float = 5.0) -> ScoringService:
-    """Engine construction shared with cli.eval (same specs/precision/flags),
-    minus the dataset — serving scores ad-hoc images against the standard
-    class list."""
-    import jax.numpy as jnp
-
+    """Engine construction SHARED with cli.eval (inference.pipeline
+    make_engine — same precision resolution, co-occurrence, and multi-chip
+    mesh), minus the dataset: serving scores ad-hoc images against the
+    standard class list."""
     from ..data.vocab import COCO_OBJECT_CATEGORIES
-    from ..engine.config import resolve_test_precision
-    from ..inference.pipeline import load_ensemble_specs
-    from ..inference.tta import TTAEngine
-    from ..ops.ensemble import normalized_cooccurrence
+    from ..inference.pipeline import load_ensemble_specs, make_engine
 
     classnames = list(classnames or COCO_OBJECT_CATEGORIES)
     specs = load_ensemble_specs(cfg, clip_params, clip_cfg, classnames, model_dir)
-    cooc = None
-    if freq_stats is not None and cfg.TEST.use_freq:
-        cooc = normalized_cooccurrence(
-            np.asarray(freq_stats["adj"], np.float32),
-            np.asarray(freq_stats["nums"], np.float32),
-        )
-    prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
-    engine = TTAEngine(
-        clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
-        caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
-        cooccurrence=cooc, use_freq=False,
-        topk=cfg.TEST.retrieval_topk,
-        block_threshold=cfg.TEST.block_threshold,
-        block_coef=cfg.TEST.block_fuse_coef,
-        crop_size=clip_cfg.image_resolution,
-        compute_dtype=jnp.bfloat16 if prec != "fp32" else jnp.float32,
-        precision="int8" if prec == "int8" else "bf16",
-    )
+    engine = make_engine(cfg, clip_params, clip_cfg, specs,
+                         caption_bank=caption_bank, freq_stats=freq_stats)
     return ScoringService(engine, classnames, batch_size=batch_size,
                           max_wait_ms=max_wait_ms)
 
@@ -275,6 +303,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--max-body-mb", type=int, default=64)
+    ap.add_argument("--max-images", type=int, default=64)
+    ap.add_argument("--max-pixels", type=int, default=64_000_000,
+                    help="reject images whose DECLARED WxH exceeds this")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args(argv)
 
@@ -301,8 +333,12 @@ def main(argv=None):
                             caption_bank=bank, freq_stats=freq,
                             batch_size=args.batch_size,
                             max_wait_ms=args.max_wait_ms)
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(service, args.topk))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(service, args.topk,
+                     max_body_bytes=args.max_body_mb << 20,
+                     max_images=args.max_images, max_pixels=args.max_pixels),
+    )
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, max-wait {args.max_wait_ms} ms)")
     try:

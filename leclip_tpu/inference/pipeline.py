@@ -149,6 +149,49 @@ def load_ensemble_specs(
     return specs
 
 
+def make_engine(cfg, clip_params, clip_cfg, specs,
+                caption_bank=None, freq_stats=None, mesh="auto") -> TTAEngine:
+    """Config-driven TTAEngine construction — the ONE place cli.eval and
+    cli.serve share, so serving cannot drift from the batch-eval setup:
+    co-occurrence build (TEST.use_freq is the master switch; per-member
+    routing lives in ModelSpec.use_freq, ref run_eval.sh:17-40), resolved
+    precision (engine/config.py resolve_test_precision), and the multi-chip
+    data mesh (``mesh='auto'``: all devices on a real multi-chip backend;
+    pass an explicit Mesh or None to override)."""
+    from ..engine.config import resolve_test_precision
+    from ..ops.ensemble import normalized_cooccurrence
+    from ..parallel.mesh import data_mesh
+
+    cooc = None
+    if freq_stats is not None and cfg.TEST.use_freq:
+        cooc = normalized_cooccurrence(
+            np.asarray(freq_stats["adj"], np.float32),
+            np.asarray(freq_stats["nums"], np.float32),
+        )
+    if mesh == "auto":
+        mesh = (
+            data_mesh()
+            if jax.device_count() > 1 and jax.default_backend() != "cpu"
+            else None
+        )
+    prec = resolve_test_precision(cfg.TEST.PREC, clip_cfg)
+    if prec != cfg.TEST.PREC:
+        print(f"TEST.PREC {cfg.TEST.PREC!r} resolved to {prec!r} for "
+              f"{'ViT' if clip_cfg.is_vit else 'ResNet'} backbone")
+    return TTAEngine(
+        clip_params, clip_cfg, specs, scales=cfg.TEST.multi_scale,
+        caption_bank=jnp.asarray(caption_bank) if caption_bank is not None else None,
+        cooccurrence=cooc, use_freq=False,
+        topk=cfg.TEST.retrieval_topk,
+        block_threshold=cfg.TEST.block_threshold,
+        block_coef=cfg.TEST.block_fuse_coef,
+        crop_size=clip_cfg.image_resolution,
+        mesh=mesh,
+        compute_dtype=jnp.float32 if prec == "fp32" else jnp.bfloat16,
+        precision="int8" if prec == "int8" else "bf16",
+    )
+
+
 def run_full_inference(
     engine: TTAEngine,
     image_paths: Sequence[str],

@@ -251,10 +251,11 @@ class TTAEngine:
             if self.caption_bank is not None:
                 if self.shard_bank:
                     n_dev = int(np.prod(list(mesh.shape.values())))
-                    # zero-pad (NOT wrap): the sharded search masks zero-norm
-                    # rows, so padded banks retrieve identically to the
-                    # replicated path at any size
-                    padded_bank, _ = pad_to_multiple(
+                    # zero-pad (NOT wrap): the sharded search excludes pad
+                    # rows BY INDEX (n_valid), so padded banks retrieve
+                    # identically to the replicated path at any size and
+                    # for any bank content (incl. unnormalised user banks)
+                    padded_bank, self._bank_n_valid = pad_to_multiple(
                         np.asarray(self.caption_bank), n_dev, mode="zero"
                     )
                     self.caption_bank = shard_along(
@@ -303,7 +304,8 @@ class TTAEngine:
             from ..parallel.retrieval import make_sharded_retriever
 
             return make_sharded_retriever(
-                self.topk, self.mesh, self.mesh.axis_names[0]
+                self.topk, self.mesh, self.mesh.axis_names[0],
+                n_valid=self._bank_n_valid,
             )
         return functools.partial(retrieval_augment, topk=self.topk)
 

@@ -34,6 +34,7 @@ def retrieval_augment_sharded(
     topk: int,
     mesh: Mesh,
     axis: str = "data",
+    n_valid: int = None,
 ):
     """Sharded-bank version of dense_clip.retrieval_augment: returns
     (augmented_feat [B, E], topk_scores [B, topk] fp32 descending).
@@ -41,6 +42,12 @@ def retrieval_augment_sharded(
     Queries are consumed under their existing sharding (batch rows on the
     same axis); each device's ring pass covers the full bank. The bf16
     search / exact-fp32-rescore split matches the replicated big-bank path.
+
+    ``n_valid``: number of REAL bank rows when the bank was padded to divide
+    the mesh (mesh.pad_to_multiple). Pad rows are excluded by GLOBAL ROW
+    INDEX (each chunk's origin shard is tracked around the ring), which is
+    exact for any bank content — including unnormalised user banks, where a
+    norm-based heuristic would silently drop small-magnitude real rows.
     """
     from jax import shard_map
 
@@ -55,17 +62,20 @@ def retrieval_augment_sharded(
         raise ValueError(
             f"bank shard ({shard_rows} rows) smaller than topk ({topk})"
         )
+    if n_valid is None:
+        n_valid = bank_shards.shape[0]
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
     def local(gf, bank):  # gf [B/d, E], bank [N/d, E]
-        def search(chunk):
+        def search(chunk, owner):
             sims = jnp.einsum(
                 "be,ne->bn", gf, chunk,
                 preferred_element_type=jnp.bfloat16 if shard_rows > 4096 else jnp.float32,
             )
-            # zero-norm rows are pad rows (real bank rows are L2-normalised,
-            # mesh.pad_to_multiple(mode='zero')): never retrieve them
-            valid = jnp.sum(chunk.astype(jnp.float32) ** 2, axis=-1) > 0.5
+            # pad rows (global index >= n_valid) never retrieve; only the
+            # last shard can contain them
+            row0 = owner * shard_rows
+            valid = row0 + jnp.arange(shard_rows, dtype=jnp.int32) < n_valid
             sims = jnp.where(valid[None, :], sims, jnp.asarray(-1e9, sims.dtype))
             if shard_rows > 4096:
                 s, i = jax.lax.approx_max_k(sims, topk, recall_target=0.95)
@@ -73,12 +83,16 @@ def retrieval_augment_sharded(
                 s, i = jax.lax.top_k(sims, topk)
             return s.astype(jnp.float32), chunk[i]
 
-        best_s, best_f = search(bank)
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        best_s, best_f = search(bank, me)
 
-        def step(_, carry):
+        def step(j, carry):
             bs, bf, chunk = carry
             chunk = jax.lax.ppermute(chunk, axis, perm=perm)
-            s, f = search(chunk)
+            # after j+1 rotations this device holds the shard owned by
+            # (me - (j+1)) mod n_dev
+            owner = jnp.mod(me - (j + 1), n_dev)
+            s, f = search(chunk, owner)
             cat_s = jnp.concatenate([bs, s], axis=-1)
             cat_f = jnp.concatenate([bf, f], axis=1)
             s2, i2 = jax.lax.top_k(cat_s, topk)
@@ -106,9 +120,12 @@ def retrieval_augment_sharded(
     )(global_feat, bank_shards)
 
 
-def make_sharded_retriever(topk: int, mesh: Mesh, axis: str = "data"):
+def make_sharded_retriever(topk: int, mesh: Mesh, axis: str = "data",
+                           n_valid: int = None):
     """(global_feat, bank) → (aug, scores) closure with the replicated-path
-    call signature, for drop-in use inside the TTA engine's jitted programs."""
+    call signature, for drop-in use inside the TTA engine's jitted programs.
+    ``n_valid``: real (pre-padding) bank row count."""
     return functools.partial(
-        retrieval_augment_sharded, topk=topk, mesh=mesh, axis=axis
+        retrieval_augment_sharded, topk=topk, mesh=mesh, axis=axis,
+        n_valid=n_valid,
     )

@@ -48,14 +48,9 @@ def main():
     # warmup compile
     svc.score([img])
 
-    done = [0]
-    lock = threading.Lock()
-
     def client():
         for _ in range(per_client):
             svc.score([img], timeout=600)
-            with lock:
-                done[0] += 1
 
     threads = [threading.Thread(target=client) for _ in range(n_clients)]
     t0 = time.perf_counter()

@@ -105,16 +105,19 @@ def test_retrieval_augment_sharded_matches_replicated():
     sa = np.asarray(scores_s)
     assert (np.diff(sa, axis=-1) <= 1e-7).all()
 
-    # non-divisible bank: zero-padded rows must be masked out of the search,
-    # so the padded sharded run still equals the replicated run on the
-    # ORIGINAL rows (wrap-padding would let a duplicate occupy two k slots)
+    # non-divisible bank: zero-padded rows must be masked out of the search
+    # BY INDEX, so the padded sharded run still equals the replicated run on
+    # the ORIGINAL rows (wrap-padding would let a duplicate occupy two k
+    # slots). Rows are deliberately UNNORMALISED (some scaled to norm 0.3):
+    # a norm-based pad heuristic would silently drop them.
     from leclip_tpu.parallel.mesh import pad_to_multiple
 
-    odd = bank[:67]
+    odd = bank[:67].copy()
+    odd[10:20] *= 0.3
     padded, n0 = pad_to_multiple(odd, mesh.shape["data"], mode="zero")
     assert n0 == 67 and padded.shape[0] == 72
     aug_s2, scores_s2 = retrieval_augment_sharded(
-        gf_d, shard_along(jnp.asarray(padded), mesh), K, mesh
+        gf_d, shard_along(jnp.asarray(padded), mesh), K, mesh, n_valid=n0
     )
     aug_r2, scores_r2 = retrieval_augment(jnp.asarray(gf), jnp.asarray(odd), K,
                                           exact=True)

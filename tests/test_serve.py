@@ -53,7 +53,11 @@ def service():
 
 @pytest.fixture(scope="module")
 def server(service):
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, topk=2))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(service, topk=2, max_body_bytes=1 << 20, max_images=4,
+                     max_pixels=1_000_000),
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -113,13 +117,15 @@ def test_microbatching_groups_concurrent_requests(service, rng):
     singles = [np.asarray(service.score([im]), np.float32) for im in imgs]
 
     calls = []
-    real = service.engine.run_batch_fused
+    # the pipelined worker dispatches through dispatch_batch_fused —
+    # instrument THAT (patching run_batch_fused would count nothing)
+    real = service.engine.dispatch_batch_fused
 
     def counting(images):
         calls.append(len(images))
         return real(images)
 
-    service.engine.run_batch_fused = counting
+    service.engine.dispatch_batch_fused = counting
     try:
         results = [None] * 4
         def worker(i):
@@ -130,7 +136,8 @@ def test_microbatching_groups_concurrent_requests(service, rng):
         for t in threads:
             t.join(timeout=300)
     finally:
-        service.engine.run_batch_fused = real
+        service.engine.dispatch_batch_fused = real
+    assert calls, "instrumentation saw no dispatches"
     assert sum(calls) <= 2 * 4  # padded dispatches, not one per request
     assert len(calls) < 4, f"no micro-batching happened: {calls}"
     for i in range(4):
@@ -141,3 +148,67 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{server}/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_request_limit_guards(server, service, rng):
+    """Body-size (413), image-count, empty-batch, and declared-dimension
+    guards reject before any decode/dispatch happens."""
+    import urllib.error
+
+    def post(data, ctype):
+        req = urllib.request.Request(
+            f"{server}/score", data=data, headers={"Content-Type": ctype}
+        )
+        return urllib.request.urlopen(req, timeout=60)
+
+    # oversize body -> 413
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(b"x" * (2 << 20), "image/jpeg")
+    assert e.value.code == 413
+
+    # empty JSON batch -> 400 (not a 500 from np.concatenate)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(json.dumps({"images": []}).encode(), "application/json")
+    assert e.value.code == 400
+
+    # too many images -> 400
+    blob = base64.b64encode(_jpeg_bytes(rng, 32, 32)).decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(json.dumps({"images": [blob] * 5}).encode(), "application/json")
+    assert e.value.code == 400
+
+    # declared dimensions over the pixel cap -> 400 BEFORE decode. A solid
+    # color compresses to a few KB, so only the dimension guard can fire
+    # (a noise image this size would trip the body cap instead).
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2000, 2000), (40, 90, 200)).save(buf, format="JPEG")
+    assert buf.tell() < 1 << 20
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(buf.getvalue(), "image/jpeg")
+    assert e.value.code == 400
+
+    # service-level: empty list is a clear ValueError
+    with pytest.raises(ValueError):
+        service.score([])
+
+
+def test_close_fails_queued_requests():
+    """close() must wake queued callers with an error immediately, not leave
+    them sleeping out their timeout."""
+    from leclip_tpu.cli.serve import ScoringService, _Request
+
+    class NeverEngine:
+        n_blocks = 1
+        models = {"m": None}
+        def dispatch_batch_fused(self, images):
+            raise AssertionError("should not dispatch")
+
+    svc = ScoringService(NeverEngine(), CLASSNAMES, batch_size=2, max_wait_ms=1.0)
+    svc._stop.set()          # freeze the worker before it picks anything up
+    svc._worker.join(timeout=10)
+    req = _Request([np.zeros((8, 8, 3), np.uint8)])
+    svc.queue.put(req)
+    svc.close()
+    assert req.event.is_set() and req.error == "service closed"
