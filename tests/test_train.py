@@ -247,3 +247,33 @@ def test_sync_every_pipelined_loop_identical(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         s_ref.params, s_pip.params,
     )
+
+
+def test_preemption_resume_matches_uninterrupted(tmp_path):
+    """The full preemption story (SURVEY §5 checkpoint/resume): train 2
+    epochs, lose the process, reconstruct the trainer from scratch in a
+    'new process', RESUME, finish to 4 epochs — final params, EMA twin, and
+    step count must match a 4-epoch uninterrupted run exactly (per-epoch
+    batcher permutations, cosine schedule position, and optimizer momentum
+    all continue from the checkpoint)."""
+    opts = {"TRAIN.CHECKPOINT_FREQ": "1", "OPTIM.MAX_EPOCH": "4",
+            "TRAIN.ema": "True"}
+    straight = make_trainer(tmp_path / "a", **opts)
+    final_a = straight.train(resume=False)
+
+    # interrupt WITHOUT changing the training config (a smaller MAX_EPOCH
+    # would change the cosine schedule itself): same 4-epoch recipe, break
+    # after epoch 2 via early_stop
+    part1 = make_trainer(tmp_path / "b", **{**opts, "TRAIN.early_stop_epoch": "2"})
+    part1.train(resume=False)
+    # "new process": a fresh trainer (fresh state/optimizer) pointed at the
+    # checkpoint dir via RESUME
+    part2 = make_trainer(tmp_path / "b", **opts, RESUME=str(tmp_path / "b"))
+    final_b = part2.train(resume=True)
+
+    assert int(final_b.step) == int(final_a.step)
+    for key in ("params", "ema_params"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(final_a, key)),
+                        jax.tree_util.tree_leaves(getattr(final_b, key))):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
