@@ -48,6 +48,12 @@ def __getattr__(name):
         "build_model_spec": ("leclip_tpu.inference.tta", "build_model_spec"),
         "run_full_inference": ("leclip_tpu.inference.pipeline", "run_full_inference"),
         "build_caption_bank": ("leclip_tpu.inference.pipeline", "build_caption_bank"),
+        "make_engine": ("leclip_tpu.inference.pipeline", "make_engine"),
+        "load_ensemble_specs": ("leclip_tpu.inference.pipeline", "load_ensemble_specs"),
+        "load_prompt_checkpoint": ("leclip_tpu.models.convert", "load_prompt_checkpoint"),
+        "ScoringService": ("leclip_tpu.cli.serve", "ScoringService"),
+        "multihost_initialize": ("leclip_tpu.parallel.multihost", "initialize"),
+        "is_primary": ("leclip_tpu.parallel.multihost", "is_primary"),
         "generate_final_answers": ("leclip_tpu.ops.ensemble", "generate_final_answers"),
         "randaugment": ("leclip_tpu.ops.randaugment", "randaugment"),
         "autoaugment": ("leclip_tpu.ops.autoaugment", "autoaugment"),
