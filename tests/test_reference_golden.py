@@ -259,6 +259,144 @@ def test_dense_test_forward_matches_reference(ref_env):
     )
 
 
+def test_reference_checkpoint_roundtrip(ref_env, tmp_path):
+    """A checkpoint saved exactly as the reference's save_model writes it
+    (prompt_learner state_dict incl. frozen token buffers, dassl
+    torchtools.py:27-82) loads through models/convert.load_prompt_checkpoint
+    into a trainable pytree equal to the source PromptLearner — the
+    MIGRATION.md drop-in claim, exercised from the reference's own module."""
+    from leclip_tpu.models.convert import load_prompt_checkpoint
+
+    ref_dc = ref_env.refcd.DenseCLIP(_make_cfg(), CLASSNAMES, ref_env.clip)
+    payload = {
+        "state_dict": ref_dc.prompt_learner.state_dict(),
+        "epoch": 7,
+        "optimizer": None,
+        "scheduler": None,
+    }
+    path = tmp_path / "model.pth.tar-7"
+    torch.save(payload, path)
+    trainable, epoch = load_prompt_checkpoint(str(path))
+    assert epoch == 7
+    want = _copy_trainable(ref_dc.prompt_learner)
+    for f in TRAINABLE_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(trainable[f]), np.asarray(want[f]), rtol=0, atol=0
+        )
+
+
+# --------------------------- adapter variant ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def adapter_env():
+    """Tiny CLIP with transformer_width=512 — the reference's adapter
+    hardcodes Adapter(512, 4) (Caption_distill_double_adapter.py:97)."""
+    from tests import _refshim
+
+    refada = _refshim.import_ref_module("trainers.Caption_distill_double_adapter")
+    rm = _refshim.import_ref_module("clip.model")
+    torch.manual_seed(1)
+    clip_model = rm.CLIP(
+        embed_dim=64, image_resolution=64, vision_layers=(1, 1, 1, 1),
+        vision_width=8, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=512, transformer_heads=8,
+        transformer_layers=2,
+    ).float().eval()
+    from leclip_tpu.models.convert import convert_state_dict
+
+    ccfg, params = convert_state_dict(
+        {k: v.numpy() for k, v in clip_model.state_dict().items()}
+    )
+    return NS(refada=refada, clip=clip_model, ccfg=ccfg, params=params)
+
+
+def _adapter_fixture_parts(adapter_env):
+    """Build the reference AdapterDenseCLIP + lift its params into ours."""
+    from leclip_tpu.models.prompt import build_prompt_learner
+    import jax
+
+    cfg = _make_cfg(use_evidence=False)
+    ref_ad = adapter_env.refada.AdapterDenseCLIP(
+        cfg, CLASSNAMES, adapter_env.clip
+    ).eval()
+    pl = ref_ad.prompt_learner
+    trainable = {
+        f: jnp.asarray(getattr(pl, f).detach().numpy())
+        for f in ("ctx", "ctx_double", "temperature", "spatial_T", "ranking_scale")
+    }
+    trainable["ctx_evidence"] = jnp.zeros_like(trainable["ctx"])  # unused
+    fc = ref_ad.adapter_text_encoder.text_adapter.fc
+    adapter_params = {
+        "down_kernel": jnp.asarray(fc[0].weight.detach().numpy().T),
+        "up_kernel": jnp.asarray(fc[2].weight.detach().numpy().T),
+    }
+    _, constants = build_prompt_learner(
+        jax.random.PRNGKey(0), adapter_env.params, CLASSNAMES, n_ctx=N_CTX
+    )
+    return ref_ad, trainable, adapter_params, constants
+
+
+def test_adapter_train_forward_matches_reference(adapter_env):
+    """AdapterDenseCLIP texts-as-images branch (plain tower for captions,
+    adapter-augmented tower for prompts, no evidence/WTA) vs our adapter path
+    (ref Caption_distill_double_adapter.py:415-457)."""
+    from leclip_tpu.models.dense_clip import (
+        DenseFlags, encode_captions, train_logits_from_features,
+    )
+
+    ref_ad, trainable, adapter_params, constants = _adapter_fixture_parts(adapter_env)
+    toks_j, toks_t = _tokens(CAPTIONS)
+    with torch.no_grad():
+        ref_out = ref_ad(None, toks_t)
+    flags = DenseFlags(use_evidence=False, spatial_scale_text=50.0)
+    feats = encode_captions(adapter_env.params, adapter_env.ccfg, toks_j, flags)
+    ours_global, ours_local = train_logits_from_features(
+        adapter_env.params, adapter_env.ccfg, trainable, constants, feats,
+        flags, adapter=adapter_params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_global), ref_out[0].numpy(), rtol=1e-4, atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_local), ref_out[1].numpy(), rtol=1e-4, atol=3e-4
+    )
+
+
+def test_adapter_test_forward_matches_reference(adapter_env):
+    """AdapterDenseCLIP image branch (dense map + no-pos pool, NO retrieval,
+    plain spatial softmax) vs our test path with the adapter applied to the
+    prompt features (ref Caption_distill_double_adapter.py:367-414)."""
+    from leclip_tpu.models.dense_clip import (
+        DenseFlags, dense_test_forward, prompt_text_features,
+    )
+
+    ref_ad, trainable, adapter_params, constants = _adapter_fixture_parts(adapter_env)
+    torch.manual_seed(12)
+    img_t = torch.randn(2, 3, 64, 64) * 0.6
+    with torch.no_grad():
+        ref_logits, ref_local, ref_neg, _ = ref_ad(img_t, if_test=True)
+    flags = DenseFlags(use_evidence=False, spatial_scale_image=50.0)
+    text_feats = prompt_text_features(
+        adapter_env.params, adapter_env.ccfg, trainable, constants, flags,
+        adapter=adapter_params,
+    )
+    img_j = jnp.asarray(img_t.permute(0, 2, 3, 1).numpy())
+    out = dense_test_forward(
+        adapter_env.params, adapter_env.ccfg, trainable, text_feats, img_j, flags
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits_global), ref_logits.numpy(), rtol=1e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits_local), ref_local.numpy(), rtol=1e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits_neg), ref_neg.permute(1, 0, 2).numpy(),
+        rtol=1e-3, atol=2e-3,
+    )
+
+
 # ------------------------------- loss library --------------------------------
 
 
