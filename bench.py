@@ -60,7 +60,11 @@ def main():
     # per-batch work (crop gather setup, retrieval top-k, dispatch latency).
     # Measured int8: batch 4 → 4,896; 8 → 5,286; 16 → 5,312; 32 OOMs HBM
     # (20.1 G needed vs 15.75 G).
-    batch_images = int(os.environ.get("BENCH_BATCH", "16"))
+    # Per-preset default batch = the largest that fits HBM (measured):
+    # ViT-B/16 → 16 (32 OOMs), RN50 → 8 (16 OOMs on trunk early-stage
+    # activations), ViT-L/14 → 4. BENCH_BATCH overrides.
+    default_batch = {"RN50": 8, "ViT-L/14": 4}.get(preset, 16)
+    batch_images = int(os.environ.get("BENCH_BATCH", str(default_batch)))
     images = [
         rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
         for _ in range(batch_images)

@@ -65,6 +65,10 @@ class OptimConfig:
     WARMUP_TYPE: str = "constant"
     WARMUP_CONS_LR: float = 1e-5
     WARMUP_MIN_LR: float = 1e-5
+    # dassl semantics (defaults.py:182): True restarts the annealer at the end
+    # of warmup; False lets it resume at epoch index WARMUP_EPOCH (with
+    # torch's chained-form phase jump — see epoch_lr_schedule)
+    WARMUP_RECOUNT: bool = True
 
 
 @dataclass

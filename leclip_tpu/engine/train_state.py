@@ -30,22 +30,60 @@ class TrainState(NamedTuple):
 def epoch_lr_schedule(optim: OptimConfig, steps_per_epoch: int) -> Callable:
     """LR as a function of the global step, constant within an epoch (the
     reference steps its scheduler at epoch end). Supports cosine (default),
-    single_step, and multi_step annealing plus constant/linear warmup —
-    the reference's scheduler menu (dassl/optim/lr_scheduler.py:83-154)."""
+    single_step (periodic StepLR), and multi_step annealing plus
+    constant/linear warmup with WARMUP_RECOUNT — the reference's scheduler
+    menu with torch-exact per-epoch values (dassl/optim/lr_scheduler.py
+    :83-154; golden-tested against the executed dassl schedulers in
+    tests/test_reference_golden.py).
+
+    dassl/torch subtleties reproduced exactly:
+    * with warmup and ``WARMUP_RECOUNT=False`` the annealer's ``last_epoch``
+      is ASSIGNED to WARMUP_EPOCH without recomputing the lr, so the first
+      post-warmup epoch runs at full base lr and the cosine then continues
+      via torch's chained form — a phase-jumped curve
+      ``base·(1+cos(πe/T))/(1+cos(πW/T))``, not the closed form;
+    * ``single_step`` is torch StepLR: a ×GAMMA drop every STEPSIZE epochs
+      (periodic), not a single drop;
+    * linear warmup is ``min_lr`` at epoch 0 then ``base·e/W`` (no min-lr
+      offset in the interpolation);
+    * milestones/step-multiples that fall inside the warmup window are
+      skipped when WARMUP_RECOUNT=False (the annealer never sees them).
+    """
     base = optim.LR
     max_epoch = optim.MAX_EPOCH
     warmup = optim.WARMUP_EPOCH
+    recount = getattr(optim, "WARMUP_RECOUNT", True)
     sched = optim.SCHED.lower()
+    warm_on = bool(warmup and warmup > 0)
 
     def anneal(epoch):
         if sched == "cosine":
+            if warm_on and recount:
+                return base * 0.5 * (1.0 + jnp.cos(jnp.pi * (epoch - warmup) / max_epoch))
+            if warm_on:
+                return base * (1.0 + jnp.cos(jnp.pi * epoch / max_epoch)) / (
+                    1.0 + jnp.cos(jnp.pi * warmup / max_epoch)
+                )
             return base * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max_epoch))
         if sched == "single_step":
-            step_at = optim.STEPSIZE[0] if optim.STEPSIZE else max_epoch
-            return base * jnp.where(epoch < step_at, 1.0, optim.GAMMA)
+            ss = optim.STEPSIZE[0] if optim.STEPSIZE else -1
+            ss = ss if ss > 0 else max_epoch  # dassl: stepsize<=0 → max_epoch
+            if warm_on and recount:
+                drops = (epoch - warmup) // ss
+            elif warm_on:
+                drops = epoch // ss - warmup // ss
+            else:
+                drops = epoch // ss
+            return base * optim.GAMMA ** drops
         if sched == "multi_step":
-            drops = sum(jnp.where(epoch >= m, 1, 0) for m in optim.STEPSIZE)
-            return base * optim.GAMMA**drops
+            ms = optim.STEPSIZE
+            if warm_on and recount:
+                drops = sum(jnp.where(epoch - warmup >= m, 1, 0) for m in ms)
+            elif warm_on:
+                drops = sum(jnp.where(epoch >= m, 1, 0) for m in ms if m > warmup)
+            else:
+                drops = sum(jnp.where(epoch >= m, 1, 0) for m in ms)
+            return base * optim.GAMMA ** drops
         if sched == "constant":
             return jnp.asarray(base)
         raise ValueError(f"unknown scheduler {optim.SCHED!r}")
@@ -53,10 +91,10 @@ def epoch_lr_schedule(optim: OptimConfig, steps_per_epoch: int) -> Callable:
     def lr(step):
         epoch = step // steps_per_epoch
         main = anneal(epoch)
-        if warmup and warmup > 0:
+        if warm_on:
             if optim.WARMUP_TYPE == "linear":
-                w = optim.WARMUP_MIN_LR + (base - optim.WARMUP_MIN_LR) * (
-                    epoch / jnp.maximum(warmup, 1)
+                w = jnp.where(
+                    epoch == 0, optim.WARMUP_MIN_LR, base * epoch / warmup
                 )
             else:
                 w = jnp.asarray(optim.WARMUP_CONS_LR)

@@ -253,6 +253,38 @@ def plant_caption_bank(workdir: str, bank) -> None:
         pickle.dump(torch.as_tensor(bank).float(), f)
 
 
+def load_ref_lr_scheduler():
+    """Load dassl/optim/lr_scheduler.py standalone (torch-only module).
+
+    The reference targets torch 1.11, whose ``_LRScheduler.__init__`` took a
+    positional ``verbose``; bridge the arity for modern torch — behaviour is
+    unchanged, only the removed argument is dropped."""
+    import importlib.util
+
+    import torch.optim.lr_scheduler as tls
+
+    orig = tls._LRScheduler
+
+    class _CompatLRScheduler(orig):
+        def __init__(self, optimizer, last_epoch=-1, verbose=False):
+            super().__init__(optimizer, last_epoch)
+
+    tls._LRScheduler = _CompatLRScheduler
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_lr_scheduler",
+            os.path.join(
+                MY_CODE, "Dassl.pytorch-master", "dassl", "optim",
+                "lr_scheduler.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        tls._LRScheduler = orig
+    return mod
+
+
 def extract_functions(path: str, names, extra_globals=None):
     """Exec only the named top-level def/class statements from a reference
     source file (for files whose module level also runs scripts/IO)."""

@@ -576,6 +576,101 @@ def test_gcn_matches_reference(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+# --------------------------- LR schedule golden ------------------------------
+
+
+_SCHED_CASES = [
+    # (id, dassl cfg fields, our KEY VALUE opts)
+    ("cosine", dict(LR_SCHEDULER="cosine", STEPSIZE=(-1,), MAX_EPOCH=10,
+                    WARMUP_EPOCH=-1),
+     ["OPTIM.SCHED", "cosine", "OPTIM.MAX_EPOCH", "10",
+      "OPTIM.WARMUP_EPOCH", "-1"]),
+    ("cosine-conswarm-norecount", dict(
+        LR_SCHEDULER="cosine", STEPSIZE=(-1,), MAX_EPOCH=10, WARMUP_EPOCH=1,
+        WARMUP_TYPE="constant", WARMUP_RECOUNT=False),
+     ["OPTIM.SCHED", "cosine", "OPTIM.MAX_EPOCH", "10",
+      "OPTIM.WARMUP_EPOCH", "1", "OPTIM.WARMUP_TYPE", "constant",
+      "OPTIM.WARMUP_RECOUNT", "False"]),
+    ("cosine-linwarm-norecount", dict(
+        LR_SCHEDULER="cosine", STEPSIZE=(-1,), MAX_EPOCH=12, WARMUP_EPOCH=3,
+        WARMUP_TYPE="linear", WARMUP_RECOUNT=False),
+     ["OPTIM.SCHED", "cosine", "OPTIM.MAX_EPOCH", "12",
+      "OPTIM.WARMUP_EPOCH", "3", "OPTIM.WARMUP_TYPE", "linear",
+      "OPTIM.WARMUP_RECOUNT", "False"]),
+    ("cosine-conswarm-recount", dict(
+        LR_SCHEDULER="cosine", STEPSIZE=(-1,), MAX_EPOCH=10, WARMUP_EPOCH=2,
+        WARMUP_TYPE="constant", WARMUP_RECOUNT=True),
+     ["OPTIM.SCHED", "cosine", "OPTIM.MAX_EPOCH", "10",
+      "OPTIM.WARMUP_EPOCH", "2", "OPTIM.WARMUP_TYPE", "constant",
+      "OPTIM.WARMUP_RECOUNT", "True"]),
+    ("single-step-periodic", dict(
+        LR_SCHEDULER="single_step", STEPSIZE=(5,), MAX_EPOCH=18,
+        WARMUP_EPOCH=-1),
+     ["OPTIM.SCHED", "single_step", "OPTIM.STEPSIZE", "(5,)",
+      "OPTIM.MAX_EPOCH", "18", "OPTIM.WARMUP_EPOCH", "-1"]),
+    ("single-step-warm-norecount", dict(
+        LR_SCHEDULER="single_step", STEPSIZE=(4,), MAX_EPOCH=16,
+        WARMUP_EPOCH=2, WARMUP_TYPE="constant", WARMUP_RECOUNT=False),
+     ["OPTIM.SCHED", "single_step", "OPTIM.STEPSIZE", "(4,)",
+      "OPTIM.MAX_EPOCH", "16", "OPTIM.WARMUP_EPOCH", "2",
+      "OPTIM.WARMUP_TYPE", "constant", "OPTIM.WARMUP_RECOUNT", "False"]),
+    ("multi-step", dict(
+        LR_SCHEDULER="multi_step", STEPSIZE=(4, 9), MAX_EPOCH=12,
+        WARMUP_EPOCH=-1),
+     ["OPTIM.SCHED", "multi_step", "OPTIM.STEPSIZE", "(4,9)",
+      "OPTIM.MAX_EPOCH", "12", "OPTIM.WARMUP_EPOCH", "-1"]),
+    ("multi-step-warm-norecount", dict(
+        LR_SCHEDULER="multi_step", STEPSIZE=(2, 6), MAX_EPOCH=12,
+        WARMUP_EPOCH=3, WARMUP_TYPE="constant", WARMUP_RECOUNT=False),
+     ["OPTIM.SCHED", "multi_step", "OPTIM.STEPSIZE", "(2,6)",
+      "OPTIM.MAX_EPOCH", "12", "OPTIM.WARMUP_EPOCH", "3",
+      "OPTIM.WARMUP_TYPE", "constant", "OPTIM.WARMUP_RECOUNT", "False"]),
+    ("multi-step-warm-recount", dict(
+        LR_SCHEDULER="multi_step", STEPSIZE=(2, 6), MAX_EPOCH=12,
+        WARMUP_EPOCH=3, WARMUP_TYPE="linear", WARMUP_RECOUNT=True),
+     ["OPTIM.SCHED", "multi_step", "OPTIM.STEPSIZE", "(2,6)",
+      "OPTIM.MAX_EPOCH", "12", "OPTIM.WARMUP_EPOCH", "3",
+      "OPTIM.WARMUP_TYPE", "linear", "OPTIM.WARMUP_RECOUNT", "True"]),
+]
+
+
+@pytest.mark.parametrize(
+    "refcfg,opts", [c[1:] for c in _SCHED_CASES], ids=[c[0] for c in _SCHED_CASES]
+)
+def test_lr_schedule_matches_dassl_scheduler(refcfg, opts):
+    """Per-epoch LR values of the reference's executed build_lr_scheduler
+    (torch SGD stepped at epoch end, dassl/optim/lr_scheduler.py:83-154,
+    warmup wrappers :25-80) vs our analytic epoch_lr_schedule — including
+    the WARMUP_RECOUNT=False phase-jump and periodic StepLR semantics."""
+    from tests import _refshim
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.engine.train_state import epoch_lr_schedule
+
+    mod = _refshim.load_ref_lr_scheduler()
+    base = 0.01
+    defaults = dict(GAMMA=0.1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5,
+                    WARMUP_MIN_LR=1e-4, WARMUP_RECOUNT=True)
+    cfg_fields = {**defaults, **refcfg}
+    max_epoch = cfg_fields["MAX_EPOCH"]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base)
+    sched = mod.build_lr_scheduler(opt, NS(**cfg_fields))
+    want = []
+    for _ in range(max_epoch):
+        want.append(opt.param_groups[0]["lr"])  # lr used DURING this epoch
+        opt.step()
+        sched.step()  # reference steps at epoch end (trainer.py:894-895)
+
+    cfg = setup_config(opts=list(opts) + [
+        "OPTIM.LR", str(base), "OPTIM.GAMMA", "0.1",
+        "OPTIM.WARMUP_CONS_LR", "1e-5", "OPTIM.WARMUP_MIN_LR", "1e-4",
+    ])
+    lr_fn = epoch_lr_schedule(cfg.OPTIM, steps_per_epoch=7)
+    got = [float(lr_fn(e * 7)) for e in range(max_epoch)]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
 # ------------------------------ evaluator mAP --------------------------------
 
 

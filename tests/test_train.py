@@ -65,9 +65,13 @@ def test_lr_schedule_per_epoch():
     # constant warmup for 2 epochs
     assert float(lr(0)) == pytest.approx(1e-5)
     assert float(lr(9)) == pytest.approx(1e-5)
-    # cosine afterwards, constant within an epoch
+    # cosine afterwards, constant within an epoch; WARMUP_RECOUNT (dassl
+    # default True) restarts the annealer after warmup, so epoch 2 runs at
+    # full base lr — golden-verified vs the executed dassl scheduler in
+    # tests/test_reference_golden.py
     assert float(lr(10)) == float(lr(14))
-    assert float(lr(10)) == pytest.approx(0.1 * 0.5 * (1 + np.cos(np.pi * 2 / 10)))
+    assert float(lr(10)) == pytest.approx(0.1)
+    assert float(lr(15)) == pytest.approx(0.1 * 0.5 * (1 + np.cos(np.pi * 1 / 10)))
     assert float(lr(45)) < float(lr(10))
 
 
