@@ -57,6 +57,13 @@ class OptimConfig:
     LR: float = 0.01
     WEIGHT_DECAY: float = 5e-4
     MOMENTUM: float = 0.9
+    # dassl's optimizer knobs, exact key names incl. the SGD_DAMPNING
+    # misspelling (defaults.py:154-158) for KEY VALUE CLI parity
+    SGD_DAMPNING: float = 0.0
+    SGD_NESTEROV: bool = False
+    RMSPROP_ALPHA: float = 0.99
+    ADAM_BETA1: float = 0.9
+    ADAM_BETA2: float = 0.999
     SCHED: str = "cosine"   # cosine | single_step | multi_step | constant
     STEPSIZE: Tuple[int, ...] = ()
     GAMMA: float = 0.1

@@ -104,36 +104,103 @@ def epoch_lr_schedule(optim: OptimConfig, steps_per_epoch: int) -> Callable:
     return lr
 
 
+def _torch_sgd_momentum(decay: float, dampening: float, nesterov: bool):
+    """torch.optim.SGD momentum buffer, incl. dampening: the FIRST step's
+    buffer is the raw gradient, later steps use m·buf + (1−d)·g (torch
+    sgd.py semantics; identical to optax.trace when d == 0)."""
+
+    def init(params):
+        return {
+            "trace": jax.tree.map(jnp.zeros_like, params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def update(updates, state, params=None):
+        first = state["step"] == 0
+        new_trace = jax.tree.map(
+            lambda t, g: jnp.where(first, g, decay * t + (1.0 - dampening) * g),
+            state["trace"], updates,
+        )
+        if nesterov:
+            out = jax.tree.map(lambda g, t: g + decay * t, updates, new_trace)
+        else:
+            out = new_trace
+        return out, {"trace": new_trace, "step": state["step"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _torch_amsgrad(b1: float, b2: float, eps: float = 1e-8):
+    """torch.optim.Adam(amsgrad=True) scaling: the max accumulator tracks the
+    RAW second moment and bias correction divides the maxed value
+    (denom = √(max_v / bc2) + eps) — optax.scale_by_amsgrad instead maxes the
+    bias-corrected moment, which diverges from torch after the first steps."""
+
+    def init(params):
+        # three INDEPENDENT zero trees — sharing one aliases the buffers and
+        # breaks donation in jitted steps ("donate the same buffer twice")
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": jax.tree.map(jnp.zeros_like, params),
+                "nu": jax.tree.map(jnp.zeros_like, params),
+                "nu_max": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], updates)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return out, {"count": count, "mu": mu, "nu": nu, "nu_max": nu_max}
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(optim: OptimConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Optimizer menu with torch-exact update semantics (the reference builds
+    torch optimizers, dassl/optim/optimizer.py:83-137): weight decay is added
+    to the GRADIENT before the moment updates for every optimizer except
+    AdamW (decoupled). Trajectory-golden-tested against the executed torch
+    optimizers (incl. the vendored dassl RAdam) in
+    tests/test_reference_golden.py."""
     schedule = epoch_lr_schedule(optim, steps_per_epoch)
     name = optim.NAME.lower()
+    wd = optax.add_decayed_weights(optim.WEIGHT_DECAY)
+    lr = optax.scale_by_learning_rate(schedule)
+    b1 = getattr(optim, "ADAM_BETA1", 0.9)
+    b2 = getattr(optim, "ADAM_BETA2", 0.999)
     if name == "sgd":
-        # torch-SGD order: grad += wd*param, then momentum trace, then -lr
-        return optax.chain(
-            optax.add_decayed_weights(optim.WEIGHT_DECAY),
-            optax.trace(decay=optim.MOMENTUM, nesterov=False),
-            optax.scale_by_learning_rate(schedule),
-        )
-    if name in ("adam", "amsgrad"):
-        return optax.chain(
-            optax.scale_by_adam(),
-            optax.add_decayed_weights(optim.WEIGHT_DECAY),
-            optax.scale_by_learning_rate(schedule),
-        )
+        dampening = getattr(optim, "SGD_DAMPNING", 0.0)  # dassl's spelling
+        nesterov = getattr(optim, "SGD_NESTEROV", False)
+        if dampening:
+            mom = _torch_sgd_momentum(optim.MOMENTUM, dampening, nesterov)
+        else:
+            mom = optax.trace(decay=optim.MOMENTUM, nesterov=nesterov)
+        return optax.chain(wd, mom, lr)
+    if name == "adam":
+        return optax.chain(wd, optax.scale_by_adam(b1=b1, b2=b2), lr)
+    if name == "amsgrad":
+        return optax.chain(wd, _torch_amsgrad(b1, b2), lr)
     if name == "adamw":
-        return optax.adamw(schedule, weight_decay=optim.WEIGHT_DECAY)
+        return optax.adamw(schedule, b1=b1, b2=b2,
+                           weight_decay=optim.WEIGHT_DECAY)
     if name == "rmsprop":
+        # torch RMSprop: sq = α·sq + (1−α)·g², denom = √sq + eps (eps OUTSIDE
+        # the sqrt), buf = m·buf + g/denom, p -= lr·buf
+        alpha = getattr(optim, "RMSPROP_ALPHA", 0.99)
         return optax.chain(
-            optax.scale_by_rms(),
-            optax.add_decayed_weights(optim.WEIGHT_DECAY),
-            optax.scale_by_learning_rate(schedule),
+            wd,
+            optax.scale_by_rms(decay=alpha, eps=1e-8, eps_in_sqrt=False),
+            optax.trace(decay=optim.MOMENTUM),
+            lr,
         )
     if name == "radam":
-        return optax.chain(
-            optax.scale_by_radam(),
-            optax.add_decayed_weights(optim.WEIGHT_DECAY),
-            optax.scale_by_learning_rate(schedule),
-        )
+        # the vendored dassl RAdam decouples weight decay (param·wd·lr added
+        # directly, radam.py:113-125) — wd goes AFTER the moment scaling
+        return optax.chain(optax.scale_by_radam(b1=b1, b2=b2), wd, lr)
     raise ValueError(f"unknown optimizer {optim.NAME!r}")
 
 

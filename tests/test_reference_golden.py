@@ -671,6 +671,156 @@ def test_lr_schedule_matches_dassl_scheduler(refcfg, opts):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
 
 
+# --------------------------- optimizer trajectories --------------------------
+
+
+_OPT_CASES = [
+    # (id, our OPTIM.NAME + extra opts, torch construction kwargs-fn)
+    ("sgd", "sgd", (), lambda LR, WD: dict(
+        cls="SGD", lr=LR, momentum=0.9, weight_decay=WD)),
+    ("sgd-nesterov", "sgd", ("OPTIM.SGD_NESTEROV", "True"), lambda LR, WD: dict(
+        cls="SGD", lr=LR, momentum=0.9, weight_decay=WD, nesterov=True)),
+    ("sgd-dampening", "sgd", ("OPTIM.SGD_DAMPNING", "0.3"), lambda LR, WD: dict(
+        cls="SGD", lr=LR, momentum=0.9, weight_decay=WD, dampening=0.3)),
+    ("adam", "adam", (), lambda LR, WD: dict(
+        cls="Adam", lr=LR, weight_decay=WD, betas=(0.9, 0.999))),
+    ("amsgrad", "amsgrad", (), lambda LR, WD: dict(
+        cls="Adam", lr=LR, weight_decay=WD, betas=(0.9, 0.999), amsgrad=True)),
+    ("rmsprop", "rmsprop", (), lambda LR, WD: dict(
+        cls="RMSprop", lr=LR, momentum=0.9, weight_decay=WD, alpha=0.99)),
+    ("adamw", "adamw", (), lambda LR, WD: dict(
+        cls="AdamW", lr=LR, weight_decay=WD, betas=(0.9, 0.999))),
+    ("radam", "radam", (), lambda LR, WD: dict(
+        cls="ref_radam", lr=LR, weight_decay=WD, betas=(0.9, 0.999))),
+]
+
+
+@pytest.mark.parametrize(
+    "name,extra,mk", [c[1:] for c in _OPT_CASES], ids=[c[0] for c in _OPT_CASES]
+)
+def test_optimizer_trajectory_matches_torch(name, extra, mk):
+    """12-step parameter trajectories of our optax chains vs the torch
+    optimizers the reference constructs (dassl/optim/optimizer.py:83-137 with
+    its defaults; RAdam is dassl's vendored implementation) on identical
+    gradients. Pins the weight-decay placement (grad-coupled everywhere
+    except AdamW/RAdam), torch's raw-moment amsgrad max, RMSprop's
+    eps-outside-sqrt + momentum buffer, and SGD dampening/nesterov."""
+    import importlib.util
+
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.engine.train_state import build_optimizer
+    import jax
+
+    LR, WD, STEPS = 0.05, 5e-4, 12
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=7).astype(np.float32)
+    grads = [rng.normal(size=7).astype(np.float32) for _ in range(STEPS)]
+
+    kw = mk(LR, WD)
+    cls = kw.pop("cls")
+    if cls == "ref_radam":
+        spec = importlib.util.spec_from_file_location(
+            "ref_radam",
+            os.path.join(REFERENCE_ROOT,
+                         "project/my_code/Dassl.pytorch-master/dassl/optim/radam.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        opt_cls = mod.RAdam
+    else:
+        opt_cls = getattr(torch.optim, cls)
+    p = torch.nn.Parameter(torch.tensor(np.float64(p0)))
+    opt = opt_cls([p], **kw)
+    for g in grads:
+        p.grad = torch.tensor(np.float64(g))
+        opt.step()
+    want = p.detach().numpy()
+
+    cfg = setup_config(opts=[
+        "OPTIM.NAME", name, "OPTIM.LR", str(LR), "OPTIM.WEIGHT_DECAY", str(WD),
+        "OPTIM.SCHED", "constant", "OPTIM.WARMUP_EPOCH", "-1", *extra,
+    ])
+    tx = build_optimizer(cfg.OPTIM, steps_per_epoch=100)
+    params = {"p": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update({"p": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda a, b: a + b, params, upd)
+    got = np.asarray(params["p"], np.float64)
+    # radam's rectification term amplifies fp32 rounding in the early steps
+    # (the same comparison under jax_enable_x64 agrees to 1.4e-7, so the
+    # semantics are exact; our optax chain runs fp32 here)
+    rtol = 2e-3 if name == "radam" else 2e-5
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=2e-6)
+
+
+# ------------------------- sampler shard contract ----------------------------
+
+
+def test_distributed_shard_contract_matches_reference():
+    """CustomDistributedSamplerWrapper's executed sharding (contiguous
+    len//world slice of the inner sampler's order, remainder dropped —
+    dassl/data/samplers.py:181-195) vs CaptionBatcher's shard slices."""
+    import importlib.util
+
+    from leclip_tpu.data.loader import CaptionBatcher
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_samplers",
+        os.path.join(REFERENCE_ROOT,
+                     "project/my_code/Dassl.pytorch-master/dassl/data/samplers.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n, world = 23, 4
+    dataset = list(range(n))
+    inner = torch.utils.data.SequentialSampler(dataset)
+    ref_shards = [
+        list(mod.CustomDistributedSamplerWrapper(
+            dataset, inner, num_replicas=world, rank=r))
+        for r in range(world)
+    ]
+    tokens = np.arange(n)[:, None]
+    labels = np.zeros((n, 2))
+    got_shards = []
+    for r in range(world):
+        b = CaptionBatcher(tokens, labels, batch_size=n, shuffle=False,
+                           shard_index=r, num_shards=world)
+        got = [int(t[0]) for batch in b.epoch(0) for t in batch["img"]]
+        # the batcher wraps the final partial batch up to batch_size; the
+        # underlying shard is its first len//world entries
+        got_shards.append(got[: n // world])
+    assert got_shards == ref_shards
+    # remainder dropped identically: union covers world*(n//world) samples
+    assert sorted(x for s in ref_shards for x in s) == list(range(world * (n // world)))
+
+
+# ---------------------------- tokenize() wrapper -----------------------------
+
+
+def test_tokenize_wrapper_matches_reference():
+    """clip.tokenize's framing (SOT/EOT, zero padding, truncate-forces-EOT)
+    executed from the reference's clip/clip.py vs our tokenize()."""
+    from tests import _refshim
+    from leclip_tpu.data.tokenizer import tokenize
+
+    ref_clip = _refshim.import_ref_module("clip.clip")
+    texts = [
+        "a photo of a dog.",
+        "A Person riding a horse next to a stop sign!",
+        "",
+    ]
+    want = ref_clip.tokenize(texts).numpy()
+    got = np.asarray(tokenize(texts))
+    np.testing.assert_array_equal(got, want.astype(got.dtype))
+
+    long_text = "a very crowded street scene " * 30
+    want = ref_clip.tokenize([long_text], truncate=True).numpy()
+    got = np.asarray(tokenize([long_text], truncate=True))
+    np.testing.assert_array_equal(got, want.astype(got.dtype))
+
+
 # ------------------------------ evaluator mAP --------------------------------
 
 
