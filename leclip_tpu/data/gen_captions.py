@@ -49,6 +49,14 @@ JUDGE_PROMPT = (
     "Answer True or False only.\nSentence: {caption}"
 )
 
+# The challenge-generation class list (ref gen_caption_challenge.py:10 —
+# distinct from the check-dataset hard-class curricula in data/corpora.py).
+CHALLENGE_GEN_CLASSES = [
+    "parking meter", "backpack", "handbag", "bench", "bottle", "knife",
+    "spoon", "chair", "potted plant", "mouse", "remote", "microwave",
+    "toaster", "scissors", "hair drier", "toothbrush", "truck",
+]
+
 _NUMBERED = re.compile(r"\d+\.\s")
 
 
@@ -149,6 +157,87 @@ def generate_compositions(
         with open(out_path, "w") as f:
             json.dump(out, f)
     return out
+
+
+def combos_from_compositions(
+    compositions: Dict[str, Dict[str, List[str]]]
+) -> List[tuple]:
+    """Unique sorted category tuples of size >= 2 from a
+    compositions_of_image.json dict (ref gen_caption.py:46-56). The reference
+    iterates ``list(set(...))`` — set order, nondeterministic across runs; we
+    sort for reproducibility (same combo set, stable file contents)."""
+    combos = set()
+    for value in compositions.values():
+        names = value.get("category_name")
+        if not names:
+            continue
+        combo = tuple(sorted(set(names)))
+        if len(combo) >= 2:
+            combos.add(combo)
+    return sorted(combos)
+
+
+def _join_names(combo: Sequence[str]) -> str:
+    """'a, b and c' — the reference's name joining (gen_caption.py:68)."""
+    if len(combo) == 1:
+        return combo[0]
+    return ", ".join(combo[:-1]) + " and " + combo[-1]
+
+
+def generate_caption_texts(
+    chat: ChatFn,
+    combos: Sequence[Sequence[str]],
+    loops: int = 4,
+    st: int = 0,
+    ed: Optional[int] = None,
+    save_root: Optional[str] = None,
+) -> List[str]:
+    """The gen_caption.py raw-dump stage: per combo in [st:ed], ``loops``
+    caption-generation chats; raw responses are appended to
+    ``captions_{st}_{ed}.txt`` under a ``[{idx}] {combo}`` header — the exact
+    artifact format filter_caption.py consumes (ref gen_caption.py:63-82).
+    Returns the raw responses (header lines excluded)."""
+    ed = len(combos) if ed is None else ed
+    out_path = None
+    if save_root:
+        os.makedirs(save_root, exist_ok=True)
+        out_path = os.path.join(save_root, f"captions_{st}_{ed}.txt")
+    responses: List[str] = []
+    for idx, combo in enumerate(combos[st:ed]):
+        names = _join_names(list(combo))
+        block = [f"[{idx}] {tuple(combo)}\n"]
+        for _ in range(loops):
+            response = chat(CAPTION_PROMPT.format(categories=names))
+            responses.append(response)
+            block.append(response + "\n")
+        if out_path:
+            with open(out_path, "a", encoding="utf-8") as f:
+                f.writelines(block)
+    return responses
+
+
+def read_raw_caption_texts(path: str) -> List[str]:
+    """Recover caption lines from a raw ``captions_{st}_{ed}.txt`` dump (or a
+    directory of them) for ``filter_captions``: keeps only lines containing a
+    numbered-sentence marker, like the reference's reader (ref
+    filter_caption.py simple_filter_cap txt branch) — combo headers and LLM
+    preamble prose never reach the filter."""
+    paths = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path))
+         if f.endswith(".txt")]
+        if os.path.isdir(path) else [path]
+    )
+    lines: List[str] = []
+    for p in paths:
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                m = _NUMBERED.search(line)
+                if m:
+                    # drop prose before the first marker (the reference keeps
+                    # only post-marker content, so "Here are 5 sentences:"
+                    # preambles never become caption candidates)
+                    lines.append(line[m.start():].strip("\n"))
+    return lines
 
 
 def split_numbered_sentences(text: str) -> List[str]:
