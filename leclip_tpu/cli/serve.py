@@ -12,6 +12,9 @@ deployment-shaped wrapper around the same math.
 Endpoints (stdlib http.server — zero dependencies):
   GET  /healthz  → {"status": "ok", "models": [...], "crops_per_image": N}
   GET  /classes  → {"classes": [...80 names...]}
+  GET  /metrics  → Prometheus text: request/image/dispatch/error counters,
+                   crop-forward throughput counter, batch-fill padding,
+                   queue depth, latency quantiles (sliding window)
   POST /score    → body: a single JPEG (Content-Type: image/jpeg), or JSON
                    {"images": ["<base64 jpeg>", ...]}.
                    → {"scores": [[...C floats...], ...],
@@ -46,6 +49,97 @@ class _Request:
         self.error: Optional[str] = None
 
 
+class ServiceStats:
+    """Thread-safe serving counters + a sliding request-latency window,
+    rendered as Prometheus text (GET /metrics) for production scraping."""
+
+    def __init__(self, latency_window: int = 1024):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self.started = time.time()
+        self.requests = 0
+        self.errors = 0
+        self.images = 0
+        self.dispatches = 0
+        self.dispatch_images = 0   # real images sent to the device
+        self.dispatch_padding = 0  # repetition-padding rows (batch fill loss)
+        self.latency_sum = 0.0
+        self._latencies = deque(maxlen=latency_window)
+
+    def record_request(self, n_images: int, latency_s: float, error: bool):
+        with self._lock:
+            self.requests += 1
+            self.images += n_images
+            self.latency_sum += latency_s
+            self._latencies.append(latency_s)
+            if error:
+                self.errors += 1
+
+    def record_dispatch(self, n_real: int, n_padding: int):
+        with self._lock:
+            self.dispatches += 1
+            self.dispatch_images += n_real
+            self.dispatch_padding += n_padding
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            out = {
+                "uptime_seconds": time.time() - self.started,
+                "requests": self.requests, "errors": self.errors,
+                "images": self.images, "dispatches": self.dispatches,
+                "dispatch_images": self.dispatch_images,
+                "dispatch_padding": self.dispatch_padding,
+                "latency_sum": self.latency_sum,
+            }
+        for q in (0.5, 0.9, 0.99):
+            out[f"latency_p{int(q * 100)}"] = (
+                lat[min(int(q * len(lat)), len(lat) - 1)] if lat else 0.0
+            )
+        return out
+
+    def prometheus(self, crops_per_image: int, queue_depth: int) -> str:
+        s = self.snapshot()
+        lines = []
+
+        def emit(name, kind, help_, value):
+            lines.append(f"# HELP leclip_{name} {help_}")
+            lines.append(f"# TYPE leclip_{name} {kind}")
+            lines.append(f"leclip_{name} {value}")
+
+        emit("uptime_seconds", "gauge", "seconds since service start",
+             f"{s['uptime_seconds']:.3f}")
+        emit("requests_total", "counter", "scoring requests completed",
+             s["requests"])
+        emit("request_errors_total", "counter", "requests that errored",
+             s["errors"])
+        emit("images_total", "counter", "images received in requests",
+             s["images"])
+        emit("dispatches_total", "counter", "fused device dispatches",
+             s["dispatches"])
+        emit("dispatch_images_total", "counter",
+             "real images sent to the device", s["dispatch_images"])
+        emit("dispatch_padding_total", "counter",
+             "repetition-padded rows (batch fill loss)", s["dispatch_padding"])
+        emit("crops_scored_total", "counter",
+             "crop forwards executed (images x crop pyramid)",
+             s["dispatch_images"] * crops_per_image)
+        emit("queue_depth", "gauge", "requests waiting in the micro-batch queue",
+             queue_depth)
+        lines.append("# HELP leclip_request_latency_seconds request latency "
+                     "(sliding window quantiles)")
+        lines.append("# TYPE leclip_request_latency_seconds summary")
+        for q in (0.5, 0.9, 0.99):
+            lines.append(
+                'leclip_request_latency_seconds{quantile="%s"} %.6f'
+                % (q, s[f"latency_p{int(q * 100)}"])
+            )
+        lines.append(f"leclip_request_latency_seconds_sum {s['latency_sum']:.6f}")
+        lines.append(f"leclip_request_latency_seconds_count {s['requests']}")
+        return "\n".join(lines) + "\n"
+
+
 class ScoringService:
     """Micro-batching wrapper around TTAEngine.run_batch_fused.
 
@@ -62,6 +156,7 @@ class ScoringService:
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
         self.queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        self.stats = ServiceStats()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -71,11 +166,19 @@ class ScoringService:
         if not images:
             raise ValueError("score() needs at least one image")
         req = _Request(images)
-        self.queue.put(req, timeout=5.0)
-        if not req.event.wait(timeout):
-            raise TimeoutError("scoring timed out")
-        if req.error:
-            raise RuntimeError(req.error)
+        t0 = time.perf_counter()
+        try:
+            self.queue.put(req, timeout=5.0)
+            if not req.event.wait(timeout):
+                raise TimeoutError("scoring timed out")
+            if req.error:
+                raise RuntimeError(req.error)
+        except Exception:
+            self.stats.record_request(len(images), time.perf_counter() - t0,
+                                      error=True)
+            raise
+        self.stats.record_request(len(images), time.perf_counter() - t0,
+                                  error=False)
         return req.scores
 
     def close(self):
@@ -146,6 +249,7 @@ class ScoringService:
                 while len(chunk) < self.batch_size:
                     chunk.append(chunk[n0 - 1])
                 outs.append((self.engine.dispatch_batch_fused(chunk), n0))
+                self.stats.record_dispatch(n0, len(chunk) - n0)
         except Exception as e:  # noqa: BLE001 — fanned back to each caller
             for req in batch:
                 req.error = f"{type(e).__name__}: {e}"
@@ -215,6 +319,16 @@ def make_handler(service: ScoringService, topk: int,
                 })
             elif self.path == "/classes":
                 self._send(200, {"classes": service.classnames})
+            elif self.path == "/metrics":
+                body = service.stats.prometheus(
+                    1 + service.engine.n_blocks, service.queue.qsize()
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 

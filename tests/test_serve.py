@@ -212,3 +212,51 @@ def test_close_fails_queued_requests():
     svc.queue.put(req)
     svc.close()
     assert req.event.is_set() and req.error == "service closed"
+
+
+def _parse_prometheus(text: str) -> dict:
+    out = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        name, value = line.rsplit(" ", 1)
+        out[name] = float(value)
+    return out
+
+
+def test_metrics_endpoint(server, service, rng):
+    """GET /metrics serves Prometheus text whose counters reflect actual
+    traffic: one fresh scored image bumps requests/images/dispatches, padding
+    accounts for the unfilled static batch, and the crop counter is
+    dispatch_images x crops_per_image."""
+    def fetch():
+        with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return _parse_prometheus(r.read().decode())
+
+    before = fetch()
+    req = urllib.request.Request(
+        f"{server}/score", data=_jpeg_bytes(rng),
+        headers={"Content-Type": "image/jpeg"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+    after = fetch()
+
+    assert after["leclip_requests_total"] == before["leclip_requests_total"] + 1
+    assert after["leclip_images_total"] == before["leclip_images_total"] + 1
+    d_disp = after["leclip_dispatches_total"] - before["leclip_dispatches_total"]
+    d_real = (after["leclip_dispatch_images_total"]
+              - before["leclip_dispatch_images_total"])
+    d_pad = (after["leclip_dispatch_padding_total"]
+             - before["leclip_dispatch_padding_total"])
+    assert d_disp >= 1 and d_real >= 1
+    # every dispatch is padded to the engine's static batch of 4
+    assert d_real + d_pad == 4 * d_disp
+    crops_per_image = 1 + service.engine.n_blocks
+    assert after["leclip_crops_scored_total"] == (
+        after["leclip_dispatch_images_total"] * crops_per_image
+    )
+    assert after["leclip_request_latency_seconds_count"] >= 1
+    assert after['leclip_request_latency_seconds{quantile="0.5"}'] > 0
+    assert after["leclip_uptime_seconds"] > 0
