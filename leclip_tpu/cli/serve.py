@@ -19,6 +19,11 @@ Endpoints (stdlib http.server — zero dependencies):
                    {"images": ["<base64 jpeg>", ...]}.
                    → {"scores": [[...C floats...], ...],
                       "topk": [[{"label": ..., "score": ...}, ...], ...]}
+  POST /reload   → re-read the prompt checkpoints from --model-dir and swap
+                   the engine in place (no restart; in-flight requests finish
+                   on whichever engine they were dispatched to). Prompt
+                   checkpoints are the only trained artifact — this is the
+                   deploy path for freshly-trained ensembles.
 
 Usage:
     python -m leclip_tpu.cli.serve --weights RN50.pt --model-dir best_model \
@@ -181,6 +186,13 @@ class ScoringService:
                                   error=False)
         return req.scores
 
+    def swap_engine(self, engine) -> None:
+        """Hot-swap the scoring engine (checkpoint reload). Reference
+        assignment is atomic; the worker picks up the new engine at its next
+        dispatch, and micro-batches already dispatched to the old engine are
+        still fetched from it."""
+        self.engine = engine
+
     def close(self):
         self._stop.set()
         self._worker.join(timeout=10.0)
@@ -298,8 +310,10 @@ def _declared_pixels(blob: bytes) -> int:
 
 def make_handler(service: ScoringService, topk: int,
                  max_body_bytes: int = 64 << 20, max_images: int = 64,
-                 max_pixels: int = 64_000_000):
+                 max_pixels: int = 64_000_000, reload_fn=None):
     from http.server import BaseHTTPRequestHandler
+
+    reload_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -333,6 +347,20 @@ def make_handler(service: ScoringService, topk: int,
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                if reload_fn is None:
+                    self._send(501, {"error": "reload not configured"})
+                    return
+                try:
+                    # serialize reloads; requests keep scoring on the current
+                    # engine until the swap
+                    with reload_lock:
+                        service.swap_engine(reload_fn())
+                    self._send(200, {"reloaded": True,
+                                     "models": list(service.engine.models)})
+                except Exception as e:  # noqa: BLE001 — surface to the client
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/score":
                 self._send(404, {"error": "unknown path"})
                 return
@@ -397,11 +425,19 @@ def build_service(cfg, clip_params, clip_cfg, model_dir: str,
     from ..inference.pipeline import load_ensemble_specs, make_engine
 
     classnames = list(classnames or COCO_OBJECT_CATEGORIES)
-    specs = load_ensemble_specs(cfg, clip_params, clip_cfg, classnames, model_dir)
-    engine = make_engine(cfg, clip_params, clip_cfg, specs,
-                         caption_bank=caption_bank, freq_stats=freq_stats)
-    return ScoringService(engine, classnames, batch_size=batch_size,
-                          max_wait_ms=max_wait_ms)
+
+    def engine_factory():
+        specs = load_ensemble_specs(
+            cfg, clip_params, clip_cfg, classnames, model_dir
+        )
+        return make_engine(cfg, clip_params, clip_cfg, specs,
+                           caption_bank=caption_bank, freq_stats=freq_stats)
+
+    service = ScoringService(engine_factory(), classnames,
+                             batch_size=batch_size, max_wait_ms=max_wait_ms)
+    # the checkpoint hot-reload hook (POST /reload): re-reads model_dir
+    service.engine_factory = engine_factory
+    return service
 
 
 def main(argv=None):
@@ -451,7 +487,8 @@ def main(argv=None):
         (args.host, args.port),
         make_handler(service, args.topk,
                      max_body_bytes=args.max_body_mb << 20,
-                     max_images=args.max_images, max_pixels=args.max_pixels),
+                     max_images=args.max_images, max_pixels=args.max_pixels,
+                     reload_fn=service.engine_factory),
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, max-wait {args.max_wait_ms} ms)")

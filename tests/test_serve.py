@@ -260,3 +260,70 @@ def test_metrics_endpoint(server, service, rng):
     assert after["leclip_request_latency_seconds_count"] >= 1
     assert after['leclip_request_latency_seconds{quantile="0.5"}'] > 0
     assert after["leclip_uptime_seconds"] > 0
+
+
+def test_reload_not_configured_is_501(server):
+    req = urllib.request.Request(f"{server}/reload", data=b"")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 501
+
+
+def test_reload_endpoint_hot_swaps_engine(rng):
+    """POST /reload swaps the engine without a restart: the model list
+    changes, subsequent scores come from the NEW ensemble (direct-call
+    parity), and the service keeps serving throughout."""
+    import urllib.error
+
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+
+    def build_engine(seed, names):
+        specs = {}
+        for i, name in enumerate(names):
+            tr, cs = build_prompt_learner(
+                jax.random.PRNGKey(seed + i), clip_params, CLASSNAMES, n_ctx=4
+            )
+            specs[name] = build_model_spec(
+                clip_params, TINY, tr, cs, DenseFlags()
+            )
+        return TTAEngine(clip_params, TINY, specs, scales=(2,), crop_size=64)
+
+    svc = ScoringService(build_engine(1, ["best"]), CLASSNAMES,
+                         batch_size=2, max_wait_ms=5.0)
+    new_engine = build_engine(7, ["best", "ema"])
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(svc, topk=2, reload_fn=lambda: new_engine),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        blob = _jpeg_bytes(rng)
+
+        def post(path, data, ctype):
+            req = urllib.request.Request(
+                f"{base}{path}", data=data, headers={"Content-Type": ctype}
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        before = post("/score", blob, "image/jpeg")
+        out = post("/reload", b"", "application/json")
+        assert out == {"reloaded": True, "models": ["best", "ema"]}
+        after = post("/score", blob, "image/jpeg")
+
+        from leclip_tpu.runtime.jpeg import decode_bytes_batch
+
+        img = decode_bytes_batch([blob])[0]
+        direct = np.asarray(svc.score([img]), np.float32)  # new engine now
+        np.testing.assert_allclose(
+            np.asarray(after["scores"]), direct, rtol=1e-4, atol=1e-4
+        )
+        # a different ensemble really is serving
+        assert not np.allclose(np.asarray(after["scores"]),
+                               np.asarray(before["scores"]), atol=1e-3)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        svc.close()
