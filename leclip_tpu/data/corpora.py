@@ -154,6 +154,26 @@ def load_multi_label_corpus(
     return tokens, labels
 
 
+def load_class_indexed_corpus(path: str, n_cls: int = 80) -> Tuple[np.ndarray, np.ndarray]:
+    """{Caption_name}.json as a {class_idx: [texts]} dict — the minimal
+    ``pazhou_distill_chatglm`` variant's corpus contract: every text of class
+    ``i`` is tokenized (truncate=True) and labeled one-hot ``i``, iterating
+    classes 0..n_cls-1 (ref pazhou_distill_chatglm.py:43-60)."""
+    with open(path) as f:
+        texts_dict = json.load(f)
+    texts: List[str] = []
+    labels: List[List[int]] = []
+    for cls_idx in range(n_cls):
+        cls_texts = texts_dict[str(cls_idx)]
+        label = [0] * n_cls
+        label[cls_idx] = 1
+        texts.extend(cls_texts)
+        labels.extend([list(label)] * len(cls_texts))
+    if not texts:
+        return np.zeros((0, 77), np.int32), np.zeros((0, n_cls), np.int8)
+    return tokenize(texts, truncate=True), np.asarray(labels, np.int8)
+
+
 def load_challenge_corpus(
     challenge_root: str, n_cls: int = 80
 ) -> List[Tuple[str, List[int]]]:
@@ -208,6 +228,45 @@ def template_samples(
                 multi[j] = 1
                 text = PROMPT_TEMPLATE.format(f"{classnames[i]} and a {classnames[j]}")
                 out.append((text, multi, default_prompt_num - 1))
+    return out
+
+
+def check_template_samples(
+    classnames: Sequence[str] = COCO_OBJECT_CATEGORIES,
+    hard_idx: Sequence[int] = (),
+    default_prompt_num: int = 10,
+) -> List[Tuple[str, List[int], int]]:
+    """The _check curriculum's template block, reproducing the reference's
+    executed behaviour exactly (ref ..._check.py:322-354): per HARD class i,
+    "a photo of a {i}." ×(default_prompt_num-1) + the 80 ImageNet templates;
+    PLUS an unconditional ``i == 0`` block — for every hard j, the pair prompt
+    "a photo of a {classnames[0]} and a {j}." ×(default_prompt_num-1) and the
+    80 ImageNet templates formatted with ``classnames[0]`` ONLY ("a bad photo
+    of a person.") but still labeled {0, j}. That person-template labeling is
+    the reference's literal behaviour (check.py:346-348), kept for parity."""
+    n_cls = len(classnames)
+    hard = set(hard_idx)
+    out: List[Tuple[str, List[int], int]] = []
+    for i in range(n_cls):
+        if i in hard:
+            label = [0] * n_cls
+            label[i] = 1
+            out.append((PROMPT_TEMPLATE.format(classnames[i]), list(label),
+                        default_prompt_num - 1))
+            for tmpl in IMAGENET_TEMPLATES:
+                out.append((tmpl.format(classnames[i]), list(label), 1))
+        if i == 0:
+            for j in range(1, n_cls):
+                if j not in hard:
+                    continue
+                multi = [0] * n_cls
+                multi[0] = 1
+                multi[j] = 1
+                out.append((PROMPT_TEMPLATE.format(
+                    f"{classnames[0]} and a {classnames[j]}"), list(multi),
+                    default_prompt_num - 1))
+                for tmpl in IMAGENET_TEMPLATES:
+                    out.append((tmpl.format(classnames[0]), list(multi), 1))
     return out
 
 

@@ -15,7 +15,8 @@ Variants:
 * ``chatglm_caption_zema``  — mix minus few-shot & subset sampling; uses
   imnames_{A|B}.json (zema.py)
 * ``chatglm_caption_zuan``  — mix minus the category-set block (zuan.py)
-* ``chatglm_caption``       — minimal single-label-only variant (pazhou_distill_chatglm.py)
+* ``chatglm_caption``       — minimal variant: one {class_idx: [texts]} JSON,
+  every text labeled one-hot (pazhou_distill_chatglm.py)
 """
 
 from __future__ import annotations
@@ -64,15 +65,19 @@ def _load_classnames(root: str) -> List[str]:
     return list(COCO_OBJECT_CATEGORIES)
 
 
-def _load_test_images(root: str, select: str, final: bool = True) -> List[str]:
+def _load_test_images(
+    root: str, select: str, final: bool = True, img_dir: str = "images"
+) -> List[str]:
+    """mix/check read imnames_final{A}.json under images/ (mix.py:83-92);
+    zema/zuan/plain read imnames_{A}.json under dataset_{A}/ (zema.py:85-92,
+    zuan.py:83-92)."""
     name = f"imnames_final{select}.json" if final else f"imnames_{select}.json"
     path = join(root, name)
     if not os.path.exists(path):
         return []
     with open(path) as f:
         imnames = json.load(f)
-    img_dir = join(root, "images")
-    return [join(img_dir, n.split("/")[-1]) for n in imnames]
+    return [join(root, img_dir, n.split("/")[-1]) for n in imnames]
 
 
 def _caption_root(cfg: Config) -> str:
@@ -133,17 +138,20 @@ def build_check(cfg: Config) -> CaptionDataset:
     if cfg.TRAIN.challenge_data:
         parts.append(_text_part(corpora.load_challenge_corpus(
             join(croot, "challenge"), len(classnames))))
-    # main corpus captions re-labeled to ONLY their hard classes
+    # Main-corpus hard re-labeling, reproducing the reference's executed
+    # behaviour (check.py:302-317): `torch.nonzero(gt == 1)[0].tolist()` takes
+    # the FIRST positive index only, so a caption is kept iff its first
+    # labeled class is hard, and its new label is that single class.
     for name in str(cfg.TRAIN.Caption_name).split(" "):
         if not name:
             continue
         toks, labs = corpora.load_multi_label_corpus(croot, name, labeler)
-        hard_mask = np.zeros(labs.shape[1], np.int8)
-        hard_mask[hard_idx] = 1
-        relabeled = labs * hard_mask[None, :]
-        keep = relabeled.sum(axis=1) > 0
-        parts.append((toks[keep], relabeled[keep]))
-    parts.append(_text_part(corpora.template_samples(classnames, restrict_to=hard_idx)))
+        first_pos = np.argmax(labs == 1, axis=1)
+        keep = np.isin(first_pos, hard_idx)
+        relabeled = np.zeros_like(labs[keep])
+        relabeled[np.arange(keep.sum()), first_pos[keep]] = 1
+        parts.append((toks[keep], relabeled))
+    parts.append(_text_part(corpora.check_template_samples(classnames, hard_idx)))
     parts.append(_text_part(corpora.category_set_samples(
         join(croot, "category_sets.txt"), len(classnames),
         restrict_to_names=hard_names)))
@@ -164,13 +172,16 @@ def build_zema(cfg: Config) -> CaptionDataset:
     for name in str(cfg.TRAIN.Caption_name).split(" "):
         if name:
             parts.append(corpora.load_multi_label_corpus(croot, name, labeler))
-    parts.append(_text_part(corpora.template_samples(classnames, add_n2=cfg.TRAIN.add_n2)))
+    # zema's N² pair block is unconditional — the `if i == 0` gate is
+    # commented out in the reference (zema.py:278-285), so add_n2 is ignored.
+    parts.append(_text_part(corpora.template_samples(classnames, add_n2=True)))
     parts.append(_text_part(corpora.category_set_samples(
         join(croot, "category_sets.txt"), len(classnames), include_samples=False)))
     tokens, labels = _stack(parts)
     corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
     return CaptionDataset(tokens, labels,
-                          _load_test_images(droot, cfg.DATASET.dataset_select, final=False),
+                          _load_test_images(droot, cfg.DATASET.dataset_select, final=False,
+                                            img_dir=f"dataset_{cfg.DATASET.dataset_select}"),
                           classnames, croot)
 
 
@@ -184,24 +195,38 @@ def build_zuan(cfg: Config) -> CaptionDataset:
     for name in str(cfg.TRAIN.Caption_name).split(" "):
         if name:
             parts.append(corpora.load_multi_label_corpus(croot, name, labeler))
-    parts.append(_text_part(corpora.template_samples(classnames, add_n2=cfg.TRAIN.add_n2)))
+    # zuan's N² pair block is unconditional, same as zema (zuan.py:277-284).
+    parts.append(_text_part(corpora.template_samples(classnames, add_n2=True)))
     if cfg.TRAIN.add_few_shot:
         parts.append(_text_part(corpora.few_shot_component_samples(
             join(croot, "components_of_few_shot_classes.json"), classnames)))
     tokens, labels = _stack(parts)
     corpora.dump_class_freq(labels, croot, str(cfg.TRAIN.Caption_name))
-    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+    return CaptionDataset(tokens, labels,
+                          _load_test_images(droot, cfg.DATASET.dataset_select, final=False,
+                                            img_dir=f"dataset_{cfg.DATASET.dataset_select}"),
                           classnames, croot)
 
 
 @DATASET_REGISTRY.register(name="chatglm_caption")
 def build_plain(cfg: Config) -> CaptionDataset:
+    """Minimal variant (ref pazhou_distill_chatglm.py): {Caption_name}.json is
+    a {class_idx: [texts]} dict, every text labeled one-hot; the data root is
+    hard-coded to A_datasets/ + dataset_A + imnames_A.json regardless of
+    dataset_select (ref :22-33); TRAIN.IF_ablation empties the train split
+    (ref :66). Deviation: the corpus directory comes from
+    DATASET.caption_feat_root rather than the reference's os.getcwd()."""
     croot = _caption_root(cfg)
-    droot = _data_root(cfg)
+    root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT)) if cfg.DATASET.ROOT else ""
+    droot = join(root, "A_datasets") if root else ""
     classnames = _load_classnames(droot)
-    labeler = CaptionLabeler()
-    tokens, labels = _text_part(corpora.load_single_label_corpus(croot, labeler))
-    return CaptionDataset(tokens, labels, _load_test_images(droot, cfg.DATASET.dataset_select),
+    tokens, labels = corpora.load_class_indexed_corpus(
+        join(croot, f"{cfg.TRAIN.Caption_name}.json"), len(classnames))
+    if cfg.TRAIN.IF_ablation:
+        tokens = tokens[:0]
+        labels = labels[:0]
+    return CaptionDataset(tokens, labels,
+                          _load_test_images(droot, "A", final=False, img_dir="dataset_A"),
                           classnames, croot)
 
 

@@ -48,6 +48,27 @@ JUDGE_PROMPT = (
     "Is the following sentence a realistic, plausible scene description? "
     "Answer True or False only.\nSentence: {caption}"
 )
+# The reference judge protocol, verbatim (ref filter_caption.py:176-180):
+# system prompt + user template concatenated into one chat turn; a caption is
+# accepted iff the response contains 'True' and not 'False' (case-sensitive,
+# ref :184).
+REFERENCE_JUDGE_SYSTEM_PROMPT = (
+    "Suppose you are an image describer and I want you to help us to "
+    "determine if the provided caption is a good description (need to be "
+    "distinguishable, concise and realistic) of a real life scene. Try to "
+    "keep sentences with verbs that indicate interaction between objects, "
+    "such as hit, wear, play. If so, answer 'True', otherwise answer "
+    "'False'. For example, 'A kitchen with a microwave, refrigerator, and "
+    "sink.' is 'True'. 'Gorilla waving on the moon' is 'False'."
+)
+REFERENCE_JUDGE_USER_PROMPT = """
+    Provided caption: {caption}.
+    """
+
+
+def judge_accepts(response: str) -> bool:
+    """Reference acceptance rule (ref filter_caption.py:184)."""
+    return "True" in response and "False" not in response
 
 # The challenge-generation class list (ref gen_caption_challenge.py:10 —
 # distinct from the check-dataset hard-class curricula in data/corpora.py).
@@ -247,6 +268,55 @@ def split_numbered_sentences(text: str) -> List[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def reference_sentence_split(sentence: str, colon_rule: bool = False) -> List[str]:
+    """The reference's EXACT chained-split of one line on `\\d+\\.\\s` markers
+    (ref filter_caption.py simple_filter_cap, :104-116 txt / :124-145 json):
+    zero markers → no sentences; one marker → everything after it;
+    several markers → successive `split(m)[0]` / `split(m)[-1]` segments plus
+    the final remainder. ``colon_rule`` is the json branch's time-string
+    heuristic (:129-134): a multi-marker sentence containing ':' is treated
+    as ONE sentence ("… at 11:59. A person …" — the "59. " is a time, not a
+    numbering). Trailing spaces and marker-duplication quirks are preserved."""
+    matches = _NUMBERED.findall(sentence)
+    if not matches:
+        return []
+    if len(matches) == 1 or (colon_rule and ":" in sentence):
+        return [sentence.split(matches[0])[-1]]
+    out: List[str] = []
+    rest = sentence.split(matches[0])[-1]
+    for m in matches[1:]:
+        out.append(rest.split(m)[0])
+        rest = rest.split(m)[-1]
+    out.append(rest.split(matches[-1])[-1])
+    return out
+
+
+def simple_filter_captions(caption_dir: str) -> List[str]:
+    """Stage-1 of the caption filter: walk a directory of raw generation
+    dumps (`.txt` = one response line per row; `.json` = {key: [sentences]}),
+    chain-split every numbered line, and drop Chinese sentences — the exact
+    behaviour of the reference's ``simple_filter_cap``
+    (ref filter_caption.py:94-163). Files are visited in sorted order (the
+    reference uses ``os.listdir``, whose order is filesystem-dependent)."""
+    out: List[str] = []
+    for fname in sorted(os.listdir(caption_dir)):
+        path = os.path.join(caption_dir, fname)
+        sentences: List[str] = []
+        if fname.endswith(".txt"):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    sentences.extend(reference_sentence_split(line.strip("\n")))
+        elif fname.endswith(".json"):
+            with open(path, encoding="utf-8") as f:
+                cap_dict = json.load(f)
+            for value in cap_dict.values():
+                for sentence in value:
+                    sentences.extend(
+                        reference_sentence_split(sentence, colon_rule=True))
+        out.extend(s for s in sentences if not contains_chinese(s))
+    return out
+
+
 def rule_filter_sentence(sent: str, min_len: int = 5, max_len: int = 150) -> bool:
     return (
         not contains_chinese(sent)
@@ -260,27 +330,36 @@ def filter_captions(
     judge: Optional[ChatFn] = None,
     out_path: Optional[str] = None,
 ) -> List[dict]:
-    """Stage-1 rule filtering + optional stage-2 LLM realism judge + labeling
-    → the ChatGLM_multi_labels_filtered.json format [{id, caption, labels}]."""
+    """The reference's ``filter_cap`` pipeline (ref filter_caption.py:165-200):
+    stage-1 chained numbered-sentence split + Chinese drop (per response
+    line); stage-2 LLM realism judge with the verbatim reference prompt and
+    its 'True'-and-not-'False' acceptance rule; then the 5<len<150 length
+    gate and labeling into the ``ChatGLM_multi_labels_filtered.json`` format
+    [{id, caption, labels}] — ``labels`` being the MATCHED SYNONYM NAMES (the
+    reference's get_class there returns names, not a binary vector,
+    filter_caption.py:33-76), and label-less captions are KEPT with an empty
+    list, exactly as the reference does. Downstream corpus loaders re-derive
+    binary labels from the caption text, so only {id, caption} is load-bearing."""
     labeler = labeler or CaptionLabeler()
-    kept: List[dict] = []
-    idx = 0
+    selected: List[str] = []
     for response in raw_responses:
-        for sent in split_numbered_sentences(response):
-            if not rule_filter_sentence(sent):
+        for sent in reference_sentence_split(response):
+            if contains_chinese(sent):
                 continue
             if judge is not None:
-                verdict = judge(JUDGE_PROMPT.format(caption=sent)).strip().lower()
-                if not verdict.startswith("true"):
+                prompt = REFERENCE_JUDGE_SYSTEM_PROMPT + \
+                    REFERENCE_JUDGE_USER_PROMPT.format(caption=sent)
+                if not judge_accepts(judge(prompt)):
                     continue
-            labels = labeler(sent)
-            if not any(labels):
-                continue
-            kept.append({"id": idx, "caption": sent, "labels": labels})
-            idx += 1
+            selected.append(sent)
+    kept: List[dict] = []
+    for cap in selected:
+        if 5 < len(cap) < 150:
+            kept.append({"id": len(kept), "caption": cap,
+                         "labels": labeler.matched_names(cap)})
     if out_path:
         with open(out_path, "w") as f:
-            json.dump(kept, f)
+            json.dump(kept, f, indent=4)
     return kept
 
 

@@ -147,6 +147,24 @@ class CaptionLabeler:
                 cap = cap.replace(padded, " ")
         return labels
 
+    def matched_names(self, caption: str) -> List[str]:
+        """The synonym names that fired, in match order — the label format of
+        the reference's filter artifact (ref filter_caption.py:33-76, whose
+        get_class variant returns names rather than a binary vector)."""
+        cap = " " + self.lemmatize(caption) + " "
+        names: List[str] = []
+        for name in self.compound:
+            padded = " " + name + " "
+            if padded in cap:
+                names.append(name)
+                cap = cap.replace(padded, " ")
+        for name in self.simple:
+            padded = " " + name + " "
+            if padded in cap:
+                names.append(name)
+                cap = cap.replace(padded, " ")
+        return names
+
     def label_many(self, captions: Sequence[str]) -> List[List[int]]:
         return [self(c) for c in captions]
 

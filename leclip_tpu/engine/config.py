@@ -102,7 +102,10 @@ class TrainConfig:
     hard_data: str = ""         # '' | 'soft' | 'total'
     challenge_data: bool = False
     add_few_shot: bool = False
-    add_n2: bool = False
+    add_n2: bool = True     # reference default True (train_caption.py:126);
+                            # recipes only ever set it False explicitly
+    IF_ablation: bool = False  # plain-variant gate: True → empty train split
+                               # (ref pazhou_distill_chatglm.py:66)
     early_stop_epoch: int = -1
     CHECKPOINT_FREQ: int = 1
     PRINT_FREQ: int = 5

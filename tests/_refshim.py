@@ -15,11 +15,21 @@ from __future__ import annotations
 
 import ast
 import importlib
+import importlib.machinery
 import os
 import pickle
 import sys
 import types
 from collections import OrderedDict
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module WITH a ModuleSpec — later `importlib.util.find_spec`
+    probes (e.g. transformers checking ftfy availability) raise ValueError on
+    spec-less modules."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
 
 from tests.conftest import REFERENCE_ROOT
 
@@ -47,7 +57,7 @@ def install_shims() -> None:
 
     # ftfy.fix_text — identity is exact for the ASCII prompts under test
     if "ftfy" not in sys.modules:
-        ftfy = types.ModuleType("ftfy")
+        ftfy = _stub_module("ftfy")
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
 
@@ -56,7 +66,7 @@ def install_shims() -> None:
 
     # mmcv.load — only used to read pickle artifacts
     if "mmcv" not in sys.modules:
-        mmcv = types.ModuleType("mmcv")
+        mmcv = _stub_module("mmcv")
         def _load(path):
             with open(path, "rb") as f:
                 return pickle.load(f)
@@ -67,9 +77,9 @@ def install_shims() -> None:
     # and models._utils.IntermediateLayerGetter (re-implemented faithfully —
     # a ModuleDict of children up to the last requested layer).
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        transforms = types.ModuleType("torchvision.transforms")
-        functional = types.ModuleType("torchvision.transforms.functional")
+        tv = _stub_module("torchvision")
+        transforms = _stub_module("torchvision.transforms")
+        functional = _stub_module("torchvision.transforms.functional")
 
         class _Unavailable:
             def __init__(self, *a, **k):
@@ -133,8 +143,8 @@ def install_shims() -> None:
         functional.pad = pad
         transforms.functional = functional
 
-        models = types.ModuleType("torchvision.models")
-        _utils = types.ModuleType("torchvision.models._utils")
+        models = _stub_module("torchvision.models")
+        _utils = _stub_module("torchvision.models._utils")
 
         class IntermediateLayerGetter(nn.ModuleDict):
             """Faithful re-implementation of torchvision's utility: keeps the
@@ -182,21 +192,21 @@ def install_shims() -> None:
     # golden tests never call (we instantiate DenseCLIP/PromptLearner, not
     # the Trainer).
     if "dassl" not in sys.modules:
-        dassl = types.ModuleType("dassl")
+        dassl = _stub_module("dassl")
 
         class _Registry:
             def register(self, *_a, **_k):
                 return lambda cls: cls
 
-        engine = types.ModuleType("dassl.engine")
+        engine = _stub_module("dassl.engine")
         engine.TRAINER_REGISTRY = _Registry()
         engine.TrainerX = type("TrainerX", (), {})
-        metrics = types.ModuleType("dassl.metrics")
+        metrics = _stub_module("dassl.metrics")
         metrics.compute_accuracy = lambda *a, **k: None
-        utils = types.ModuleType("dassl.utils")
+        utils = _stub_module("dassl.utils")
         utils.load_pretrained_weights = lambda *a, **k: None
         utils.load_checkpoint = lambda *a, **k: None
-        optim = types.ModuleType("dassl.optim")
+        optim = _stub_module("dassl.optim")
         optim.build_optimizer = lambda *a, **k: None
         optim.build_lr_scheduler = lambda *a, **k: None
         dassl.engine = engine
@@ -216,6 +226,153 @@ def install_shims() -> None:
     if MY_CODE not in sys.path:
         sys.path.insert(0, MY_CODE)
     _installed = True
+
+
+def install_data_shims() -> None:
+    """Shims for importing the reference's dataset builders
+    (datasets/pazhou_distill_chatglm*.py) so they can be EXECUTED directly:
+
+    * ``nltk`` — this image has no nltk corpora (zero egress), so the
+      linguistic layer (word_tokenize / pos_tag / WordNetLemmatizer) is
+      replaced by the SAME deterministic rule lemmatizer our
+      ``leclip_tpu.data.labeling`` uses. Both sides therefore lemmatize
+      identically BY CONSTRUCTION; what the golden tests actually compare is
+      everything around it — the synonym matching loops, filters, caching
+      contract, template/category synthesis, item order, and label algebra —
+      running from the reference's own source.
+    * ``jsonlines`` / ``pycocotools`` / ``mmcv.dump`` / ``dassl.data.datasets``
+      — plain dependency stand-ins (a line reader, an unused import, pickle,
+      and a Datum/DatasetBase record holder).
+    """
+    install_shims()
+    import numpy as np  # noqa: F401  (kept for parity with install_shims)
+
+    from leclip_tpu.data.labeling import _WORD_RE, CaptionLabeler
+
+    _labeler = CaptionLabeler()
+
+    if not isinstance(sys.modules.get("nltk"), types.ModuleType) or not getattr(
+        sys.modules.get("nltk"), "_leclip_shim", False
+    ):
+        nltk = _stub_module("nltk")
+        nltk._leclip_shim = True
+        nltk.word_tokenize = lambda s: _WORD_RE.findall(s)
+        nltk.pos_tag = lambda toks: [(t, "NN") for t in toks]
+
+        corpus = _stub_module("nltk.corpus")
+
+        class _WordNet:
+            ADJ, VERB, NOUN, ADV = "a", "v", "n", "r"
+
+        corpus.wordnet = _WordNet()
+
+        stem = _stub_module("nltk.stem")
+
+        class WordNetLemmatizer:
+            def lemmatize(self, tok, pos="n"):
+                return _labeler._lemma(tok)
+
+        stem.WordNetLemmatizer = WordNetLemmatizer
+        nltk.corpus = corpus
+        nltk.stem = stem
+        sys.modules["nltk"] = nltk
+        sys.modules["nltk.corpus"] = corpus
+        sys.modules["nltk.stem"] = stem
+
+    if "jsonlines" not in sys.modules:
+        import json as _json
+
+        jsonlines = _stub_module("jsonlines")
+
+        class Reader:
+            def __init__(self, fp):
+                self._fp = fp
+
+            def __iter__(self):
+                for line in self._fp:
+                    line = line.strip()
+                    if line:
+                        yield _json.loads(line)
+
+        jsonlines.Reader = Reader
+        sys.modules["jsonlines"] = jsonlines
+
+    if "pycocotools" not in sys.modules:
+        pycocotools = _stub_module("pycocotools")
+        coco = _stub_module("pycocotools.coco")
+        coco.COCO = type("COCO", (), {})
+        pycocotools.coco = coco
+        sys.modules["pycocotools"] = pycocotools
+        sys.modules["pycocotools.coco"] = coco
+
+    mmcv = sys.modules["mmcv"]
+    if not hasattr(mmcv, "dump"):
+        def _dump(obj, path):
+            with open(path, "wb") as f:
+                pickle.dump(obj, f)
+        mmcv.dump = _dump
+
+    dassl = sys.modules["dassl"]
+    if "dassl.data.datasets" not in sys.modules:
+        data = _stub_module("dassl.data")
+        datasets = _stub_module("dassl.data.datasets")
+
+        class _Registry:
+            def register(self, *_a, **_k):
+                return lambda cls: cls
+
+        class Datum:
+            def __init__(self, impath="", label=None, domain=0, classname=""):
+                self.impath = impath
+                self.label = label
+                self.domain = domain
+                self.classname = classname
+
+        class DatasetBase:
+            def __init__(self, train_x=None, train_u=None, val=None, test=None,
+                         num_classes=None, classnames=None, lab2cname=None):
+                self.train_x = train_x
+                self.train_u = train_u
+                self.val = val
+                self.test = test
+                self.num_classes = num_classes
+                self.classnames = classnames
+                self.lab2cname = lab2cname
+
+        datasets.DATASET_REGISTRY = _Registry()
+        datasets.Datum = Datum
+        datasets.DatasetBase = DatasetBase
+        data.datasets = datasets
+        dassl.data = data
+        sys.modules["dassl.data"] = data
+        sys.modules["dassl.data.datasets"] = datasets
+
+    utils = sys.modules["dassl.utils"]
+    if not hasattr(utils, "read_json"):
+        import json as _json
+
+        def read_json(path):
+            with open(path) as f:
+                return _json.load(f)
+
+        utils.read_json = read_json
+        utils.mkdir_if_missing = lambda p: os.makedirs(p, exist_ok=True)
+
+
+def import_ref_dataset(variant: str):
+    """Import a reference dataset module (e.g.
+    'pazhou_distill_chatglm_multi_label_mix') for direct execution.
+
+    The installed HuggingFace `datasets` package shadows the reference's
+    namespace `datasets/` directory, so the modules are loaded under a
+    synthetic `refdatasets` package whose __path__ points at the reference."""
+    install_data_shims()
+    if "refdatasets" not in sys.modules:
+        pkg = _stub_module("refdatasets")
+        pkg.__path__ = [os.path.join(MY_CODE, "datasets")]
+        pkg.__package__ = "refdatasets"
+        sys.modules["refdatasets"] = pkg
+    return importlib.import_module(f"refdatasets.{variant}")
 
 
 def import_ref_module(name: str):

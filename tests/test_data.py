@@ -140,9 +140,70 @@ def test_dataset_check_hard_relabeling(corpus_root):
     hard_idx = corpora.hard_class_indices("hard")
     mask = np.zeros(80, np.int8)
     mask[hard_idx] = 1
-    # every label is within the hard-class set
+    mask[0] = 1  # the unconditional person-pair template block labels class 0
+    # every label is within the hard-class set (plus 'person' via pair prompts)
     assert (ds.labels * (1 - mask[None, :])).sum() == 0
     assert len(ds) > 0
+    # the person-pair block: for each hard j, 9 pair prompts + 80 templates
+    # labeled {0, j} (ref check.py:336-348, the i==0 block)
+    person_rows = ds.labels[:, 0] == 1
+    assert person_rows.sum() == len(hard_idx) * 89
+    # main-corpus hard relabel keeps FIRST-positive-hard captions only
+    # (ref check.py:306 `torch.nonzero(gt == 1)[0]`): both tiny_corpus
+    # captions lead with non-hard classes (person / dog), so none survive —
+    # no surviving row labels a non-hard class other than person.
+    assert not (ds.labels[:, idx("bicycle")] == 1).any()
+    assert not (ds.labels[:, idx("dog")] == 1).any()
+
+
+def test_dataset_check_first_positive_corpus_rule(corpus_root):
+    # first-positive = LOWEST labeled class index (ref check.py:306
+    # `torch.nonzero(gt == 1)[0]`): parking meter (12, hard) < dog (16),
+    # so the first caption is kept and relabeled to parking meter alone;
+    # dog (16, not hard) < backpack (24), so the second is dropped even
+    # though backpack is hard.
+    multi = [
+        {"id": 0, "caption": "A parking meter next to a dog."},
+        {"id": 1, "caption": "A dog with a backpack."},
+    ]
+    with open(os.path.join(corpus_root, "firstpos.json"), "w") as f:
+        json.dump(multi, f)
+    cfg = setup_config(opts=[
+        "DATASET.NAME", "chatglm_caption_check",
+        "DATASET.caption_feat_root", os.path.dirname(corpus_root),
+        "TRAIN.Caption_name", "firstpos",
+        "TRAIN.hard_data", "hard",
+    ])
+    ds = build_dataset(cfg)
+    pm, dog, backpack = idx("parking meter"), idx("dog"), idx("backpack")
+    assert not (ds.labels[:, dog] == 1).any()
+    # exactly one corpus row: lone parking-meter label alongside the 89
+    # template rows (9 prompts + 80 templates) that also label it
+    lone_pm = (ds.labels[:, pm] == 1) & (ds.labels.sum(axis=1) == 1)
+    assert lone_pm.sum() == 89 + 1
+    # backpack appears only via its template/pair rows, never a corpus row
+    lone_bp = (ds.labels[:, backpack] == 1) & (ds.labels.sum(axis=1) == 1)
+    assert lone_bp.sum() == 89
+
+
+def test_dataset_plain_variant(corpus_root, tmp_path):
+    with open(os.path.join(corpus_root, "classdict.json"), "w") as f:
+        json.dump({str(i): [f"a photo number {i}."] for i in range(80)}, f)
+    cfg = setup_config(opts=[
+        "DATASET.NAME", "chatglm_caption",
+        "DATASET.caption_feat_root", os.path.dirname(corpus_root),
+        "TRAIN.Caption_name", "classdict",
+    ])
+    ds = build_dataset(cfg)
+    assert len(ds) == 80
+    np.testing.assert_array_equal(ds.labels, np.eye(80, dtype=np.int8))
+    cfg2 = setup_config(opts=[
+        "DATASET.NAME", "chatglm_caption",
+        "DATASET.caption_feat_root", os.path.dirname(corpus_root),
+        "TRAIN.Caption_name", "classdict",
+        "TRAIN.IF_ablation", "True",
+    ])
+    assert len(build_dataset(cfg2)) == 0
 
 
 def test_batcher_sharding_and_determinism():
