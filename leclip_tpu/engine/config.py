@@ -65,11 +65,12 @@ class OptimConfig:
     ADAM_BETA1: float = 0.9
     ADAM_BETA2: float = 0.999
     SCHED: str = "cosine"   # cosine | single_step | multi_step | constant
-    STEPSIZE: Tuple[int, ...] = ()
+    STEPSIZE: Tuple[int, ...] = (-1,)  # dassl default (defaults.py:172); <=0 = MAX_EPOCH
     GAMMA: float = 0.1
     MAX_EPOCH: int = 15
     WARMUP_EPOCH: int = 1
-    WARMUP_TYPE: str = "constant"
+    WARMUP_TYPE: str = "linear"  # dassl default (defaults.py:177); every shipped
+                                 # recipe with warmup sets "constant" explicitly
     WARMUP_CONS_LR: float = 1e-5
     WARMUP_MIN_LR: float = 1e-5
     # dassl semantics (defaults.py:182): True restarts the annealer at the end
@@ -81,7 +82,11 @@ class OptimConfig:
 @dataclass
 class CaptionTrainerConfig:
     N_CTX: int = 16
-    M_CTX: int = 2
+    M_CTX: int = 4   # reference default (train_caption.py:99); consumed only by
+                     # the LMPT hinge add-on's token-window split (both sides —
+                     # ref Caption_distill_double.py:876-879, ours
+                     # ops/losses.py lmpt_hinge_loss). Evidence recipes set 2
+                     # explicitly; ctx_evidence itself is n_ctx-shaped.
     CSC: bool = False
     CTX_INIT: str = ""
     PREC: str = "fp32"         # fp32 | bf16 | amp-bf16
@@ -99,14 +104,18 @@ class TrainConfig:
     Caption_name: str = "ChatGLM_multi_labels_2k_v2"
     ema: bool = False
     momentum: float = 0.995
-    hard_data: str = ""         # '' | 'soft' | 'total'
+    hard_data: str = "hard"     # 'hard' | 'soft' | 'total' (ref default "hard",
+                                # train_caption.py:123; '' also accepted → hard)
     challenge_data: bool = False
     add_few_shot: bool = False
     add_n2: bool = True     # reference default True (train_caption.py:126);
                             # recipes only ever set it False explicitly
     IF_ablation: bool = False  # plain-variant gate: True → empty train split
                                # (ref pazhou_distill_chatglm.py:66)
-    early_stop_epoch: int = -1
+    early_stop_epoch: int = 200  # ref default (train_caption.py:127) — it IS
+                                 # load-bearing: rn50.yaml's MAX_EPOCH 20000 run
+                                 # stops at epoch 200 via this default (dassl
+                                 # trainer.py:404). Negative disables.
     CHECKPOINT_FREQ: int = 1
     PRINT_FREQ: int = 5
     sync_every: int = 0         # host-sync (metrics fetch + NaN check) every
@@ -147,7 +156,7 @@ class TestConfig:
     multi_model: Tuple[str, ...] = ("prompt_learner",)
     multi_scale: Tuple[int, ...] = (2, 3, 4)
     save_pth: bool = False
-    save_name: str = ""
+    save_name: str = "./data.pth"  # ref default (train_caption.py:134)
     use_freq: bool = False
     retrieval_topk: int = 10
     retrieval_merge: bool = True
@@ -204,6 +213,13 @@ class Config:
             if isinstance(v, dict) and dataclasses.is_dataclass(getattr(node, leaf, None)):
                 self.merge_dict(v, prefix=path + ".")
             else:
+                # yacs decodes YAML strings via literal_eval (its
+                # _decode_cfg_value) — how the reference's unquoted
+                # ``LR: 1e-5`` / ``SIZE: (224, 224)`` become float/tuple
+                # (PyYAML leaves both as str). Only for non-string-typed
+                # fields, so names/paths stay raw.
+                if isinstance(v, str) and not isinstance(getattr(node, leaf, None), str):
+                    v = _parse_literal(v)
                 _set_typed(node, leaf, v)
         return self
 

@@ -442,6 +442,168 @@ def load_ref_lr_scheduler():
     return mod
 
 
+def install_yacs_shim() -> None:
+    """A faithful mini-yacs CfgNode so the reference's config stack
+    (dassl/config/defaults.py + train_caption.py setup_cfg) can be EXECUTED
+    directly (yacs is not installed in this image).
+
+    Replicates the yacs 0.1.8 behaviours that stack exercises:
+    attribute-dict with nested-CfgNode conversion; clone() = deepcopy;
+    freeze()/defrost(); merge_from_file / merge_from_list with
+    ``_decode_cfg_value`` (literal_eval on YAML strings — how ``LR: 1e-5``
+    and ``SIZE: (224, 224)`` become float/tuple, since PyYAML leaves both as
+    str) and ``_check_and_coerce_cfg_value`` (same-type replace, list<->tuple
+    casts, TypeError otherwise); KeyError on non-existent merge keys; and
+    new-key creation via plain attribute assignment (how extend_cfg /
+    reset_cfg add ``cfg.TRAINER.Caption`` / ``cfg.eval_only``).
+    """
+    if "yacs.config" in sys.modules:
+        return
+    import copy as _copy
+
+    class CfgNode(dict):
+        def __init__(self, init_dict=None):
+            init_dict = {} if init_dict is None else dict(init_dict)
+            for k, v in init_dict.items():
+                if type(v) is dict:
+                    init_dict[k] = CfgNode(v)
+            super().__init__(init_dict)
+            self.__dict__["__immutable__"] = False
+
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            if self.__dict__.get("__immutable__", False):
+                raise AttributeError(
+                    f"Attempted to set {name} to {value}, but CfgNode is immutable"
+                )
+            self[name] = value
+
+        def _immutable(self, flag):
+            self.__dict__["__immutable__"] = flag
+            for v in self.values():
+                if isinstance(v, CfgNode):
+                    v._immutable(flag)
+
+        def freeze(self):
+            self._immutable(True)
+
+        def defrost(self):
+            self._immutable(False)
+
+        def clone(self):
+            return _copy.deepcopy(self)
+
+        def is_frozen(self):
+            return self.__dict__.get("__immutable__", False)
+
+        @classmethod
+        def _decode_cfg_value(cls, v):
+            if isinstance(v, dict):
+                return cls(v)
+            if not isinstance(v, str):
+                return v
+            try:
+                return ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                return v
+
+        def merge_from_file(self, cfg_filename):
+            import yaml
+
+            with open(cfg_filename) as f:
+                loaded = CfgNode(yaml.safe_load(f) or {})
+            _merge_a_into_b(loaded, self, self, [])
+
+        def merge_from_other_cfg(self, cfg_other):
+            _merge_a_into_b(cfg_other, self, self, [])
+
+        def merge_from_list(self, cfg_list):
+            assert len(cfg_list) % 2 == 0, (
+                f"Override list has odd length: {cfg_list}"
+            )
+            for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+                key_list = full_key.split(".")
+                d = self
+                for subkey in key_list[:-1]:
+                    assert subkey in d, f"Non-existent key: {full_key}"
+                    d = d[subkey]
+                subkey = key_list[-1]
+                assert subkey in d, f"Non-existent key: {full_key}"
+                value = self._decode_cfg_value(v)
+                value = _check_and_coerce_cfg_value(value, d[subkey], full_key)
+                d[subkey] = value
+
+    def _check_and_coerce_cfg_value(replacement, original, full_key):
+        original_type = type(original)
+        replacement_type = type(replacement)
+        if replacement_type == original_type:
+            return replacement
+        # yacs casts: list <-> tuple only
+        if isinstance(replacement, list) and isinstance(original, tuple):
+            return tuple(replacement)
+        if isinstance(replacement, tuple) and isinstance(original, list):
+            return list(replacement)
+        raise ValueError(
+            f"Type mismatch ({original_type} vs. {replacement_type}) with "
+            f"values ({original} vs. {replacement}) for config key: {full_key}"
+        )
+
+    def _merge_a_into_b(a, b, root, key_list):
+        for k in a:
+            full_key = ".".join(key_list + [k])
+            v = _copy.deepcopy(a[k])
+            v = b._decode_cfg_value(v)
+            if k in b:
+                v = _check_and_coerce_cfg_value(v, b[k], full_key)
+                if isinstance(v, CfgNode):
+                    _merge_a_into_b(v, b[k], root, key_list + [k])
+                else:
+                    b[k] = v
+            else:
+                raise KeyError(f"Non-existent config key: {full_key}")
+
+    yacs = _stub_module("yacs")
+    config = _stub_module("yacs.config")
+    config.CfgNode = CfgNode
+    yacs.config = config
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = config
+
+
+def load_ref_config_stack():
+    """Execute the reference's config stack directly: dassl/config/defaults.py
+    (builds the yacs default tree, ref dassl/config/defaults.py:1-277) plus
+    train_caption.py's extend_cfg / reset_cfg / setup_cfg (ref
+    train_caption.py:37-166), extracted without importing the module's heavy
+    trainer/dataset imports. Returns the namespace with ``setup_cfg`` and
+    ``get_cfg_default``."""
+    install_yacs_shim()
+    import importlib.util
+
+    defaults_path = os.path.join(
+        MY_CODE, "Dassl.pytorch-master", "dassl", "config", "defaults.py"
+    )
+    spec = importlib.util.spec_from_file_location("ref_dassl_defaults", defaults_path)
+    dmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dmod)
+
+    def get_cfg_default():
+        return dmod._C.clone()
+
+    ns = extract_functions(
+        os.path.join(MY_CODE, "train_caption.py"),
+        ["reset_cfg", "extend_cfg", "setup_cfg"],
+        extra_globals={"get_cfg_default": get_cfg_default},
+    )
+    ns["get_cfg_default"] = get_cfg_default
+    return ns
+
+
 def extract_functions(path: str, names, extra_globals=None):
     """Exec only the named top-level def/class statements from a reference
     source file (for files whose module level also runs scripts/IO)."""

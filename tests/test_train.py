@@ -60,6 +60,7 @@ def make_trainer(tmp_path, **opts):
 def test_lr_schedule_per_epoch():
     cfg = setup_config(opts=["OPTIM.LR", "0.1", "OPTIM.MAX_EPOCH", "10",
                              "OPTIM.WARMUP_EPOCH", "2",
+                             "OPTIM.WARMUP_TYPE", "constant",
                              "OPTIM.WARMUP_CONS_LR", "1e-5"])
     lr = epoch_lr_schedule(cfg.OPTIM, steps_per_epoch=5)
     # constant warmup for 2 epochs
