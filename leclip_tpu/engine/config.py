@@ -139,6 +139,12 @@ class TrainConfig:
                                  # superseded by int8_captions. At caption
                                  # shapes fused bf16 beats BOTH XLA and int8
                                  # (probe_text_fused.py) with no quant noise.
+    profile_dir: str = ""       # when set, trace a bounded window of first-
+                                # epoch steps with jax.profiler into this
+                                # directory (utils/logging.py profiler_trace) —
+                                # the SURVEY §5 tracing upgrade the reference
+                                # lacks (its only timing is AverageMeter,
+                                # dassl/utils/meters.py:7-44)
     # Hold out every Nth training caption as a LABELED accuracy probe
     # (0 = off). The competition val split is unlabeled (mAP always 0), so
     # this held-out texts-as-images split is the only way a training run can

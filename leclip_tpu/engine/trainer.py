@@ -41,7 +41,7 @@ from ..models.prompt import assemble_prompts, build_prompt_learner, ema_update
 from ..ops import losses as L
 from ..parallel.mesh import data_mesh, replicate, shard_batch
 from ..parallel.multihost import is_primary
-from ..utils.logging import MetricMeter
+from ..utils.logging import MetricMeter, profiler_trace
 from ..utils.registry import TRAINER_REGISTRY
 from .metrics import MetricsWriter
 from .checkpoint import resume_if_exists, save_checkpoint
@@ -364,6 +364,14 @@ class CaptionDistillTrainer:
         if sync_every <= 0:
             sync_every = print_freq if jax.default_backend() == "tpu" else 1
         steps_per_epoch = self.batcher.steps_per_epoch()
+        # Bounded jax.profiler window (TRAIN.profile_dir): first-epoch steps
+        # [1, min(5, last)] — step 0 is compile — written as a TensorBoard-
+        # loadable trace. The SURVEY §5 tracing upgrade over the reference's
+        # wall-clock meters.
+        profiling = bool(cfg.TRAIN.profile_dir) and primary
+        prof_start = 1 if steps_per_epoch > 1 else 0
+        prof_stop = min(5, steps_per_epoch - 1) if steps_per_epoch > 1 else 0
+        prof_cm = None
         for epoch in range(start_epoch, max_epoch):
             t_epoch = time.time()
             for i, batch in enumerate(self.batcher.epoch(epoch)):
@@ -371,6 +379,18 @@ class CaptionDistillTrainer:
                 self.state, metrics = self.train_step(
                     self.state, sb["img"], sb["label"]
                 )
+                if profiling and epoch == start_epoch:
+                    if i == prof_start:
+                        prof_cm = profiler_trace(cfg.TRAIN.profile_dir)
+                        prof_cm.__enter__()
+                    if i == prof_stop and prof_cm is not None:
+                        jax.tree.map(
+                            lambda a: a.block_until_ready()
+                            if hasattr(a, "block_until_ready") else a,
+                            metrics,
+                        )
+                        prof_cm.__exit__(None, None, None)
+                        prof_cm = None
                 n = i + 1
                 if not (n % sync_every == 0 or n % print_freq == 0
                         or n == steps_per_epoch):

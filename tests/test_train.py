@@ -282,3 +282,18 @@ def test_preemption_resume_matches_uninterrupted(tmp_path):
                         jax.tree_util.tree_leaves(getattr(final_b, key))):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_profiler_trace_window(tmp_path):
+    """TRAIN.profile_dir wires utils.logging.profiler_trace into the train
+    loop: a bounded first-epoch step window is traced and written as a
+    TensorBoard-loadable profile (SURVEY §5 — the reference has no tracing,
+    only AverageMeter wall-clocks)."""
+    prof = tmp_path / "prof"
+    tr = make_trainer(tmp_path / "out", **{
+        "OPTIM.MAX_EPOCH": "1",
+        "TRAIN.profile_dir": str(prof),
+    })
+    tr.train(resume=False)
+    files = [p for p in prof.rglob("*") if p.is_file()]
+    assert files, "profiler trace produced no files"
