@@ -339,54 +339,3 @@ def test_plain_matches_reference_execution(env, monkeypatch):
                               "DATASET.NAME", "chatglm_caption"])
     assert len(ref_ds2.train_x) == len(build_dataset(cfg2)) == 0
 
-
-def test_distributed_sampler_wrapper_sharding_golden():
-    """Execute the reference's DDP sharding contract directly: the actual
-    ``CustomDistributedSamplerWrapper`` (dassl/data/samplers.py:181-195)
-    slices a contiguous ``len(sampler) // num_replicas`` window of the inner
-    sampler's order per rank (remainder dropped). Our ``CaptionBatcher``'s
-    shard_index/num_shards arithmetic must produce the same partition of the
-    same base order."""
-    import torch.utils.data as tud
-
-    from leclip_tpu.data.loader import CaptionBatcher
-    from tests import _refshim
-
-    ns = _refshim.extract_functions(
-        os.path.join(
-            _refshim.MY_CODE, "Dassl.pytorch-master", "dassl", "data",
-            "samplers.py",
-        ),
-        ["CustomDistributedSamplerWrapper"],
-        extra_globals={"DistributedSampler": tud.DistributedSampler},
-    )
-    Wrapper = ns["CustomDistributedSamplerWrapper"]
-
-    n, world, bs = 103, 4, 5  # 103 // 4 = 25 per rank, 3 dropped; 5 batches
-    dataset = list(range(n))
-    inner = list(range(n))  # a SequentialSampler's order, shared by both sides
-    tokens = np.arange(n)[:, None]
-    labels = np.arange(n)[:, None]
-
-    covered = []
-    for rank in range(world):
-        ref_idx = list(Wrapper(dataset, inner, num_replicas=world, rank=rank))
-        b = CaptionBatcher(tokens, labels, batch_size=bs, shuffle=False,
-                           shard_index=rank, num_shards=world)
-        ours = np.concatenate([batch["img"][:, 0] for batch in b.epoch(0)])
-        assert ref_idx == list(ours), f"rank {rank}"
-        covered.extend(ref_idx)
-
-    # the contract both sides implement: ranks partition the first
-    # world * (n // world) items of the inner order, in order, no overlap
-    assert covered == list(range(world * (n // world)))
-
-    # set_epoch passes through to the inner sampler (samplers.py:193-195)
-    class Recording(list):
-        def set_epoch(self, e):
-            self.epoch = e
-
-    rec = Recording(inner)
-    w = Wrapper(dataset, rec, num_replicas=world, rank=0)
-    w.set_epoch(7)
-    assert rec.epoch == 7

@@ -297,3 +297,18 @@ def test_profiler_trace_window(tmp_path):
     tr.train(resume=False)
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "profiler trace produced no files"
+
+
+def test_build_trainer_registry(tmp_path):
+    """build_trainer (the dassl build.py analogue) resolves through
+    TRAINER_REGISTRY and returns a wired trainer."""
+    from leclip_tpu.engine.trainer import CaptionDistillTrainer, build_trainer
+
+    cfg = setup_config(opts=[
+        "OPTIM.MAX_EPOCH", "1", "DATALOADER.BATCH_SIZE_TRAIN", "16",
+        "TRAINER.N_CTX", "4", "OUTPUT_DIR", str(tmp_path),
+    ])
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    tr = build_trainer(cfg, clip_params, TINY, dataset=tiny_dataset())
+    assert isinstance(tr, CaptionDistillTrainer)
+    assert tr.batcher.steps_per_epoch() >= 1
