@@ -26,6 +26,9 @@ def parse_args(argv=None):
     ap.add_argument("--output-dir", default="./output")
     ap.add_argument("--weights", default="", help="OpenAI CLIP checkpoint (.pt)")
     ap.add_argument("--backbone", default="", help="backbone preset when no weights (RN50, ViT-B/16, ...)")
+    ap.add_argument("--trainer", default="",
+                    help="TRAINER_REGISTRY name (ref --trainer; default "
+                         "Caption_distill_double)")
     ap.add_argument("--resume", default="")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--eval-only", action="store_true")
@@ -68,7 +71,9 @@ def main(argv=None):
     cfg = setup_config(
         dataset_yaml=args.dataset_config,
         trainer_yaml=args.trainer_config,
-        opts=args.opts,
+        # --trainer lands before the free-form opts, like the reference's
+        # reset_cfg → merge_from_list order (train_caption.py:158-162)
+        opts=(["TRAINER.NAME", args.trainer] if args.trainer else []) + (args.opts or []),
         OUTPUT_DIR=args.output_dir,
         RESUME=args.resume,
         SEED=args.seed,
@@ -86,7 +91,9 @@ def main(argv=None):
 
         return run_eval(cfg, clip_params, clip_cfg, args.model_dir or cfg.OUTPUT_DIR)
 
-    trainer = CaptionDistillTrainer(cfg, clip_params, clip_cfg)
+    from ..engine.trainer import build_trainer
+
+    trainer = build_trainer(cfg, clip_params, clip_cfg)
     trainer.train(resume=bool(args.resume))
     if not cfg.TEST.NO_TEST:
         # reference after_train final test (dassl trainer.py:415-436); with

@@ -81,6 +81,9 @@ class OptimConfig:
 
 @dataclass
 class CaptionTrainerConfig:
+    # TRAINER_REGISTRY key (ref TRAINER.NAME via --trainer, train_caption.py:59;
+    # the reference default is "" because its launchers always pass it)
+    NAME: str = "Caption_distill_double"
     N_CTX: int = 16
     M_CTX: int = 4   # reference default (train_caption.py:99); consumed only by
                      # the LMPT hinge add-on's token-window split (both sides —

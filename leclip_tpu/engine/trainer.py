@@ -425,9 +425,10 @@ class CaptionDistillTrainer:
 
 
 def build_trainer(cfg: Config, clip_params, clip_cfg, **kwargs):
-    return TRAINER_REGISTRY.get("Caption_distill_double")(
-        cfg, clip_params, clip_cfg, **kwargs
-    )
+    """Registry-driven construction (ref dassl/engine/build.py:6-13 reading
+    cfg.TRAINER.NAME, set by the launchers' --trainer arg)."""
+    name = cfg.TRAINER.NAME or "Caption_distill_double"
+    return TRAINER_REGISTRY.get(name)(cfg, clip_params, clip_cfg, **kwargs)
 
 
 @TRAINER_REGISTRY.register(name="Caption_distill_double_adapter")

@@ -92,6 +92,7 @@ KEYMAP = [
     ("OPTIM.WARMUP_CONS_LR", "OPTIM.WARMUP_CONS_LR"),
     ("OPTIM.WARMUP_MIN_LR", "OPTIM.WARMUP_MIN_LR"),
     ("OPTIM.WARMUP_RECOUNT", "OPTIM.WARMUP_RECOUNT"),
+    ("TRAINER.NAME", "TRAINER.NAME"),
     ("TRAINER.Caption.N_CTX", "TRAINER.N_CTX"),
     ("TRAINER.Caption.M_CTX", "TRAINER.M_CTX"),
     ("TRAINER.Caption.CSC", "TRAINER.CSC"),
@@ -136,6 +137,10 @@ DEVIATIONS = {
     # never-used extend_cfg default [2,3,4,5] (train_caption.py:132). Recipes
     # never set it, so the pinned pair below is the only combination.
     "TEST.multi_scale": ([2, 3, 4, 5], (2, 3, 4)),
+    # the reference default is "" because its launchers always pass --trainer
+    # Caption_distill_double (run_seed1.sh:6,29); ours defaults to that value.
+    # Launcher-effective runs match exactly (reset_cfg sets it).
+    "TRAINER.NAME": ("", "Caption_distill_double"),
 }
 
 

@@ -312,3 +312,14 @@ def test_build_trainer_registry(tmp_path):
     tr = build_trainer(cfg, clip_params, TINY, dataset=tiny_dataset())
     assert isinstance(tr, CaptionDistillTrainer)
     assert tr.batcher.steps_per_epoch() >= 1
+
+    # TRAINER.NAME selects the variant (ref --trainer / dassl build.py)
+    from leclip_tpu.engine.trainer import CaptionDistillAdapterTrainer
+
+    cfg2 = setup_config(opts=[
+        "TRAINER.NAME", "Caption_distill_double_adapter",
+        "OPTIM.MAX_EPOCH", "1", "DATALOADER.BATCH_SIZE_TRAIN", "16",
+        "TRAINER.N_CTX", "4", "OUTPUT_DIR", str(tmp_path),
+    ])
+    tr2 = build_trainer(cfg2, clip_params, TINY, dataset=tiny_dataset())
+    assert isinstance(tr2, CaptionDistillAdapterTrainer)
