@@ -56,14 +56,17 @@ def test_caption_texts_roundtrip(tmp_path):
     kept = G.filter_captions(raw)
     # "short" (<5 chars) and the Chinese line are rule-filtered; the dog+cat
     # and knife+spoon sentences survive with correct labels
-    caps = {k["caption"] for k in kept}
+    # reference-exact sentence split keeps the trailing space a mid-line
+    # numbered marker leaves behind (filter_caption.py chained-split quirk,
+    # pinned by tests/test_reference_golden_gencap.py) — compare stripped
+    caps = {k["caption"].strip() for k in kept}
     assert "A dog sits beside a cat." in caps
     assert "A spoon rests by a knife." in caps
     assert "short" not in caps
-    dog = COCO_OBJECT_CATEGORIES.index("dog")
-    cat = COCO_OBJECT_CATEGORIES.index("cat")
-    row = next(k for k in kept if k["caption"] == "A dog sits beside a cat.")
-    assert row["labels"][dog] == 1 and row["labels"][cat] == 1
+    # labels are the MATCHED SYNONYM NAMES in the reference's artifact format
+    # (filter_caption.py:33-76 returns names, not a binary vector)
+    row = next(k for k in kept if k["caption"].strip() == "A dog sits beside a cat.")
+    assert {"dog", "cat"} <= set(row["labels"])
 
 
 def _save_tiny_lm(out_dir: str) -> str:
