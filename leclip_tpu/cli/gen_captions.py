@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def _make_chat(args):
@@ -126,9 +127,17 @@ def main(argv=None):
         )
         print(f"wrote {args.out}: {len(lines)} challenge lines")
     elif args.cmd == "filter":
-        raw = G.read_raw_caption_texts(args.captions)
         judge = _make_chat(args) if args.judge else None
-        kept = G.filter_captions(raw, judge=judge, out_path=args.out)
+        if os.path.isdir(args.captions):
+            # stage-1 via simple_filter_captions: covers the reference's
+            # .json caption dumps (colon time-string rule included) as well
+            # as .txt response files (ref filter_caption.py:94-163)
+            raw = G.simple_filter_captions(args.captions)
+            kept = G.filter_captions(raw, judge=judge, out_path=args.out,
+                                     presplit=True)
+        else:
+            raw = G.read_raw_caption_texts(args.captions)
+            kept = G.filter_captions(raw, judge=judge, out_path=args.out)
         print(f"wrote {args.out}: {len(kept)} labeled captions "
               f"(from {len(raw)} raw lines)")
 

@@ -329,6 +329,7 @@ def filter_captions(
     labeler: Optional[CaptionLabeler] = None,
     judge: Optional[ChatFn] = None,
     out_path: Optional[str] = None,
+    presplit: bool = False,
 ) -> List[dict]:
     """The reference's ``filter_cap`` pipeline (ref filter_caption.py:165-200):
     stage-1 chained numbered-sentence split + Chinese drop (per response
@@ -343,7 +344,11 @@ def filter_captions(
     labeler = labeler or CaptionLabeler()
     selected: List[str] = []
     for response in raw_responses:
-        for sent in reference_sentence_split(response):
+        # ``presplit``: the caller already ran stage-1 (simple_filter_captions
+        # — which also handles the reference's .json dumps); each item is one
+        # sentence, not a marker-bearing response line.
+        sents = [response] if presplit else reference_sentence_split(response)
+        for sent in sents:
             if contains_chinese(sent):
                 continue
             if judge is not None:

@@ -131,28 +131,21 @@ class CaptionLabeler:
         return " ".join(self._lemma(t) for t in toks)
 
     def __call__(self, caption: str) -> List[int]:
-        cap = " " + self.lemmatize(caption) + " "
         labels = [0] * self.n_cls
-        # Compounds first, destructively, so e.g. "hot dog" does not also
-        # label "dog"; then single-word names.
-        for name in self.compound:
-            padded = " " + name + " "
-            if padded in cap:
-                labels[self.name2idx[name]] = 1
-                cap = cap.replace(padded, " ")
-        for name in self.simple:
-            padded = " " + name + " "
-            if padded in cap:
-                labels[self.name2idx[name]] = 1
-                cap = cap.replace(padded, " ")
+        for name in self.matched_names(caption):
+            labels[self.name2idx[name]] = 1
         return labels
 
     def matched_names(self, caption: str) -> List[str]:
         """The synonym names that fired, in match order — the label format of
         the reference's filter artifact (ref filter_caption.py:33-76, whose
-        get_class variant returns names rather than a binary vector)."""
+        get_class variant returns names rather than a binary vector).
+        ``__call__`` derives the binary vector from this, so there is exactly
+        ONE copy of the matching algorithm."""
         cap = " " + self.lemmatize(caption) + " "
         names: List[str] = []
+        # Compounds first, destructively, so e.g. "hot dog" does not also
+        # label "dog"; then single-word names.
         for name in self.compound:
             padded = " " + name + " "
             if padded in cap:

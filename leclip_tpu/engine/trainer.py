@@ -371,7 +371,29 @@ class CaptionDistillTrainer:
         profiling = bool(cfg.TRAIN.profile_dir) and primary
         prof_start = 1 if steps_per_epoch > 1 else 0
         prof_stop = min(5, steps_per_epoch - 1) if steps_per_epoch > 1 else 0
-        prof_cm = None
+        try:
+            self._train_epochs(
+                cfg, start_epoch, max_epoch, meter, primary, writer,
+                sync_every, print_freq, steps_per_epoch, t_start,
+                profiling, prof_start, prof_stop,
+            )
+        finally:
+            # an exception inside the profiled window (e.g. the NaN guard)
+            # must still finalize the trace — a dangling start_trace breaks
+            # every later start_trace in the process
+            if getattr(self, "_prof_cm", None) is not None:
+                self._prof_cm.__exit__(None, None, None)
+                self._prof_cm = None
+        if writer is not None:
+            writer.close()
+        if primary:
+            print(f"training done in {time.time() - t_start:.1f}s")
+        return self.state
+
+    def _train_epochs(self, cfg, start_epoch, max_epoch, meter, primary,
+                      writer, sync_every, print_freq, steps_per_epoch,
+                      t_start, profiling, prof_start, prof_stop):
+        self._prof_cm = None
         for epoch in range(start_epoch, max_epoch):
             t_epoch = time.time()
             for i, batch in enumerate(self.batcher.epoch(epoch)):
@@ -381,16 +403,16 @@ class CaptionDistillTrainer:
                 )
                 if profiling and epoch == start_epoch:
                     if i == prof_start:
-                        prof_cm = profiler_trace(cfg.TRAIN.profile_dir)
-                        prof_cm.__enter__()
-                    if i == prof_stop and prof_cm is not None:
+                        self._prof_cm = profiler_trace(cfg.TRAIN.profile_dir)
+                        self._prof_cm.__enter__()
+                    if i == prof_stop and self._prof_cm is not None:
                         jax.tree.map(
                             lambda a: a.block_until_ready()
                             if hasattr(a, "block_until_ready") else a,
                             metrics,
                         )
-                        prof_cm.__exit__(None, None, None)
-                        prof_cm = None
+                        self._prof_cm.__exit__(None, None, None)
+                        self._prof_cm = None
                 n = i + 1
                 if not (n % sync_every == 0 or n % print_freq == 0
                         or n == steps_per_epoch):
@@ -408,20 +430,23 @@ class CaptionDistillTrainer:
                     if writer is not None:
                         writer.write_scalars(host, int(self.state.step), prefix="train/")
                         writer.write_scalar("train/lr", lr, int(self.state.step))
-            if primary and cfg.TRAIN.CHECKPOINT_FREQ > 0 and (
-                (epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0 or epoch + 1 == max_epoch
-            ):
+            # reference save gate (Caption_distill_double.py:576-587): every
+            # CHECKPOINT_FREQ epochs (freq<=0 disables the cadence) OR the
+            # true last epoch — which saves even at freq<=0. Early-stopped
+            # epochs past the last freq multiple are NOT saved, exactly like
+            # the reference (train_2.sh copies epoch 80 for diffh/ema/zema
+            # though they early-stop at 82/85, and epoch 10 for diff's stop
+            # at 12 — those tails were never persisted there either).
+            meet_freq = cfg.TRAIN.CHECKPOINT_FREQ > 0 and (
+                (epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0
+            )
+            if primary and (meet_freq or epoch + 1 == max_epoch):
                 path = save_checkpoint(self.state, cfg.OUTPUT_DIR, self.model_name, epoch)
                 print(f"checkpoint → {path} ({time.time() - t_epoch:.1f}s/epoch)")
             if 0 <= cfg.TRAIN.early_stop_epoch <= epoch + 1:
                 if primary:
                     print(f"early stop at epoch {epoch + 1}")
                 break
-        if writer is not None:
-            writer.close()
-        if primary:
-            print(f"training done in {time.time() - t_start:.1f}s")
-        return self.state
 
 
 def build_trainer(cfg: Config, clip_params, clip_cfg, **kwargs):

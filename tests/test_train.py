@@ -323,3 +323,27 @@ def test_build_trainer_registry(tmp_path):
     ])
     tr2 = build_trainer(cfg2, clip_params, TINY, dataset=tiny_dataset())
     assert isinstance(tr2, CaptionDistillAdapterTrainer)
+
+
+def test_checkpoint_gate_matches_reference(tmp_path):
+    """The reference's save gate (Caption_distill_double.py:576-587): freq<=0
+    saves ONLY on the true last epoch; an early stop past the last freq
+    multiple does NOT persist the tail epochs (train_2.sh copies epoch 80 for
+    members that early-stop at 82/85 — those tails never existed on disk)."""
+    # freq 0 → only the last epoch is saved
+    t1 = make_trainer(tmp_path / "a", **{"TRAIN.CHECKPOINT_FREQ": "0"})
+    t1.train(resume=False)
+    name = t1.model_name
+    saved = sorted(os.listdir(os.path.join(tmp_path / "a", name)))
+    assert "model.ckpt-2" in saved  # MAX_EPOCH 3 → last epoch index 2
+    assert not any(s.endswith(("-0", "-1")) for s in saved)
+
+    # freq 2, early stop at 3 (of MAX_EPOCH 4): epoch index 1 saved, the
+    # early-stopped epoch index 2 NOT saved
+    t2 = make_trainer(tmp_path / "b", **{
+        "TRAIN.CHECKPOINT_FREQ": "2", "OPTIM.MAX_EPOCH": "4",
+        "TRAIN.early_stop_epoch": "3",
+    })
+    t2.train(resume=False)
+    saved = sorted(os.listdir(os.path.join(tmp_path / "b", t2.model_name)))
+    assert "model.ckpt-1" in saved and "model.ckpt-2" not in saved
