@@ -255,12 +255,14 @@ class ScoringService:
             # chunk oversized micro-batches at engine batch size; pad the
             # tail by repetition so every dispatch hits a compiled program
             outs = []
+            engine = self.engine  # snapshot: a concurrent swap_engine must
+            # not split ONE micro-batch across two model versions
             for i in range(0, len(images), self.batch_size):
                 chunk = images[i : i + self.batch_size]
                 n0 = len(chunk)
                 while len(chunk) < self.batch_size:
                     chunk.append(chunk[n0 - 1])
-                outs.append((self.engine.dispatch_batch_fused(chunk), n0))
+                outs.append((engine.dispatch_batch_fused(chunk), n0))
                 self.stats.record_dispatch(n0, len(chunk) - n0)
         except Exception as e:  # noqa: BLE001 — fanned back to each caller
             for req in batch:

@@ -214,6 +214,49 @@ def test_close_fails_queued_requests():
     assert req.event.is_set() and req.error == "service closed"
 
 
+def test_swap_mid_microbatch_does_not_split_versions():
+    """A swap_engine racing a multi-chunk micro-batch must not split that
+    micro-batch across model versions: _dispatch_async snapshots the engine
+    once, so every chunk of the in-flight request scores on the OLD engine
+    and only the NEXT micro-batch sees the new one."""
+    from leclip_tpu.cli.serve import ScoringService
+
+    served = []
+
+    class FakeEngine:
+        n_blocks = 1
+        models = {"m": None}
+
+        def __init__(self, tag, on_dispatch=None):
+            self.tag = tag
+            self.on_dispatch = on_dispatch
+
+        def dispatch_batch_fused(self, images):
+            served.append(self.tag)
+            if self.on_dispatch is not None:
+                cb, self.on_dispatch = self.on_dispatch, None
+                cb()
+            return np.full((len(images), len(CLASSNAMES)),
+                           float(self.tag == "new"), np.float32)
+
+    svc = ScoringService(FakeEngine("old"), CLASSNAMES,
+                         batch_size=2, max_wait_ms=1.0)
+    new = FakeEngine("new")
+    # the swap lands INSIDE the first chunk's dispatch — before the worker
+    # reaches the second chunk of the same 4-image request
+    svc.engine.on_dispatch = lambda: svc.swap_engine(new)
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        first = np.asarray(svc.score([img] * 4), np.float32)
+        assert served == ["old", "old"], served
+        np.testing.assert_array_equal(first, 0.0)
+        second = np.asarray(svc.score([img]), np.float32)
+        assert served[-1] == "new"
+        np.testing.assert_array_equal(second, 1.0)
+    finally:
+        svc.close()
+
+
 def _parse_prometheus(text: str) -> dict:
     out = {}
     for line in text.splitlines():
