@@ -97,6 +97,43 @@ def build_prompt_learner(
     return trainable, constants
 
 
+def sparse_token_embedding_stub(
+    token_embedding, classnames: List[str], n_ctx: int = 16, ctx_init: str = ""
+) -> np.ndarray:
+    """Host copy of the token-embedding table holding ONLY the rows that
+    `build_prompt_learner` will index for these classnames (~100 of 49,408);
+    all other rows are zero.
+
+    Use this when the full table lives on a device: fetching the whole
+    [49408, D] table over a networked-TPU link costs ~50 MB (measured 136 s
+    on a degraded link), while the prompt scaffolding only ever embeds the
+    tokens of "<prefix> <classname>." prompts — so gather those rows
+    on-device and ship ~0.2 MB instead. The returned table is a drop-in
+    `clip_params["text"]["token_embedding"]` stub for `build_prompt_learner`
+    (same n_ctx / ctx_init), verified to produce identical constants.
+    """
+    if ctx_init:
+        words = ctx_init.replace("_", " ")
+        prefix = words
+        probe_rows = [tokenize(words)[0]]  # covers the ctx slice ids
+    else:
+        prefix = " ".join(["X"] * n_ctx)
+        probe_rows = []
+    names = [c.replace("_", " ") for c in classnames]
+    probe = tokenize([f"{prefix} {c}." for c in names] + [f"{prefix}."],
+                     truncate=True)
+    ids = np.unique(np.concatenate([np.asarray(probe).ravel()]
+                                   + [np.asarray(r) for r in probe_rows]))
+    if isinstance(token_embedding, np.ndarray):
+        rows = token_embedding[ids]
+    else:
+        rows = np.asarray(jax.jit(lambda e, i: e[i])(
+            token_embedding, jnp.asarray(ids)))
+    table = np.zeros((token_embedding.shape[0], rows.shape[1]), rows.dtype)
+    table[ids] = rows
+    return table
+
+
 def assemble_prompts(
     trainable: dict, constants: dict, neg_prompt_wcls: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -36,24 +36,15 @@ def synth_engine_inputs(preset: str = "ViT-B/16", bank_rows: int = 220_000,
 
     log("building 6 ensemble specs…")
     flags = DenseFlags(use_evidence=True)
-    # prompt scaffolding (tokenize + tiny embedding lookups) built on CPU.
-    # Only the embedding rows of tokens that occur in the prompts are needed
-    # (~200 of 49,408): fetching the FULL [49408, D] table over the axon
-    # tunnel measured 136 s when the link degrades (~50 MB at <0.4 MB/s),
-    # which once pushed bench.py past the driver timeout — so gather just
-    # the needed rows on-device and scatter them into a host zero table.
-    from leclip_tpu.data.tokenizer import tokenize
+    # prompt scaffolding (tokenize + tiny embedding lookups) built on CPU
+    # from a SPARSE host stub of the token embedding — fetching the full
+    # [49408, D] table over the axon tunnel measured 136 s when the link
+    # degrades, which once pushed bench.py past the driver timeout
+    from leclip_tpu.models.prompt import sparse_token_embedding_stub
 
-    prompt_prefix = " ".join(["X"] * 16)
-    names = [c.replace("_", " ") for c in COCO_OBJECT_CATEGORIES]
-    probe = tokenize([f"{prompt_prefix} {c}." for c in names]
-                     + [f"{prompt_prefix}."], truncate=True)
-    ids = np.unique(np.asarray(probe))
-    rows = np.asarray(jax.jit(lambda e, i: e[i])(
-        clip_params["text"]["token_embedding"], jnp.asarray(ids)))
-    emb_shape = clip_params["text"]["token_embedding"].shape
-    token_emb_host = np.zeros((emb_shape[0], rows.shape[1]), rows.dtype)
-    token_emb_host[ids] = rows
+    token_emb_host = sparse_token_embedding_stub(
+        clip_params["text"]["token_embedding"], COCO_OBJECT_CATEGORIES, n_ctx=16
+    )
     host_clip_stub = {"text": {"token_embedding": token_emb_host}}
     specs = {}
     for i, name in enumerate(ENSEMBLE_NAMES):

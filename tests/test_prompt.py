@@ -70,6 +70,36 @@ def test_ctx_init_from_words(clip_params):
     np.testing.assert_allclose(np.asarray(trainable["ctx"]), emb[ids], atol=1e-6)
 
 
+@pytest.mark.parametrize("kwargs", [
+    {"n_ctx": 16}, {"n_ctx": 4}, {"ctx_init": "a photo of a"},
+])
+def test_sparse_token_embedding_stub_identical(clip_params, kwargs):
+    """The sparse host stub (only the rows the prompts index) must yield a
+    prompt learner identical to one built from the full embedding table."""
+    from leclip_tpu.models.prompt import sparse_token_embedding_stub
+
+    table = sparse_token_embedding_stub(
+        clip_params["text"]["token_embedding"], CLASSNAMES, **kwargs
+    )
+    assert table.shape == clip_params["text"]["token_embedding"].shape
+    # genuinely sparse: the vast majority of rows never cross the link
+    assert (np.abs(table).sum(-1) > 0).sum() < 200
+    ref_tr, ref_cs = build_prompt_learner(
+        jax.random.PRNGKey(1), clip_params, CLASSNAMES, **kwargs
+    )
+    tr, cs = build_prompt_learner(
+        jax.random.PRNGKey(1), {"text": {"token_embedding": table}},
+        CLASSNAMES, **kwargs,
+    )
+    for k in ref_cs:
+        if hasattr(ref_cs[k], "shape"):
+            np.testing.assert_array_equal(np.asarray(ref_cs[k]), np.asarray(cs[k]))
+        else:
+            assert ref_cs[k] == cs[k], k
+    for k in ref_tr:
+        np.testing.assert_array_equal(np.asarray(ref_tr[k]), np.asarray(tr[k]))
+
+
 def test_ema_helpers():
     params = {"ctx": jnp.ones((2, 3)), "temperature": jnp.asarray(3.0)}
     ema = ema_init(params)
