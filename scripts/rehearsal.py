@@ -84,10 +84,32 @@ def main():
                     help="also measure the save_dir (per-model dump) path on "
                          "the first N images and report its rate vs fused")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model-dir", default="",
+                    help="directory of TRAINED ensemble checkpoints "
+                         "(best_model/{name}/model.ckpt, e.g. the "
+                         "scripts/train_rehearsal.py output) — replaces the "
+                         "synthetic prompts so the reference's full "
+                         "train_2.sh → test.sh workflow is exercised "
+                         "end-to-end (ref /root/reference/test.sh)")
+    ap.add_argument("--backbone", default="RN50",
+                    help="CLIP preset for --model-dir; the weights are the "
+                         "same deterministic PRNGKey(0) random init "
+                         "train_rehearsal.py trains against")
+    ap.add_argument("--caption-root", default="",
+                    help="generated_captions dir (the train_rehearsal "
+                         "workspace's text_result/generated_captions) — the "
+                         "retrieval bank (L7 precompute, ref "
+                         "generate_caption_text_features.py:77-97) and the "
+                         "co-occurrence stats are built from its cached "
+                         "tokenized corpus, on their own reported clocks")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tiny smoke runs)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -125,16 +147,64 @@ def main():
         paths = make_corpus(corpus_dir, args.images, args.seed)
         log(f"corpus written in {time.time() - t0:.0f}s")
 
-    # ---- model / engine (identical construction to bench.py, by import) ----
-    from _synth import synth_engine_inputs
+    if args.model_dir:
+        # Trained-checkpoint mode: the test.sh stage of the full competition
+        # dress rehearsal (train_rehearsal.py being the train_2.sh stage).
+        # CLIP towers are the SAME deterministic random init training used —
+        # real OpenAI weights are unobtainable here (zero egress) — so the
+        # prompt checkpoints and the towers are mutually consistent.
+        import pickle
 
-    clip_cfg, clip_params, specs, bank = synth_engine_inputs(log=log)
+        from leclip_tpu.data.freq_stats import build_freq_stats
+        from leclip_tpu.engine.config import setup_config
+        from leclip_tpu.inference.pipeline import (build_caption_bank,
+                                                   load_ensemble_specs,
+                                                   make_engine)
+        from leclip_tpu.models.clip import PRESETS, init_clip_params
 
-    engine = TTAEngine(
-        clip_params, clip_cfg, specs, scales=(2, 3, 4),
-        caption_bank=bank, compute_dtype=jnp.bfloat16,
-        precision=args.precision,
-    )
+        clip_cfg = PRESETS[args.backbone]
+        cfg = setup_config(opts=["TEST.PREC", args.precision,
+                                 "TEST.use_freq", "True"])
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
+                                           dtype=jnp.float32)
+        log(f"loading trained ensemble from {args.model_dir}…")
+        specs = load_ensemble_specs(cfg, clip_params, clip_cfg,
+                                    list(COCO_OBJECT_CATEGORIES),
+                                    args.model_dir)
+        log(f"members: {sorted(specs)}")
+        bank = freq = None
+        if args.caption_root:
+            tok_path = os.path.join(
+                args.caption_root,
+                "ChatGLM_multi_labels_filtered_all_caption_tokenized.pkl")
+            lab_path = os.path.join(
+                args.caption_root, "ChatGLM_multi_labels_filtered_labels.pkl")
+            with open(tok_path, "rb") as f:
+                tokens = np.asarray(pickle.load(f))
+            t0 = time.time()
+            bank = build_caption_bank(
+                clip_params, clip_cfg, tokens,
+                precision="int8" if args.precision == "int8" else "bf16")
+            log(f"caption bank: {bank.shape[0]} features in "
+                f"{time.time() - t0:.1f}s")
+            with open(lab_path, "rb") as f:
+                lab = pickle.load(f)
+            freq = build_freq_stats(
+                np.asarray([lab[i] for i in sorted(lab)], np.float32))
+        engine = make_engine(cfg, clip_params, clip_cfg, specs,
+                             caption_bank=bank, freq_stats=freq, mesh=None)
+    else:
+        # ---- synthetic engine (identical construction to bench.py) --------
+        from _synth import synth_engine_inputs
+
+        clip_cfg, clip_params, specs, bank = synth_engine_inputs(log=log)
+
+        engine = TTAEngine(
+            clip_params, clip_cfg, specs, scales=(2, 3, 4),
+            caption_bank=bank, compute_dtype=jnp.bfloat16,
+            precision=args.precision,
+        )
     crops_per_image = 1 + engine.n_blocks
 
     # ---- warmup pass: compile every (bucket, shared) program variant the
@@ -202,7 +272,9 @@ def main():
         "unit": "crop-forwards/sec",
         "images": len(paths),
         "batch_size": args.batch_size,
-        "precision": args.precision,
+        "precision": engine.precision,
+        **({"model_dir": args.model_dir, "backbone": args.backbone}
+           if args.model_dir else {}),
         "crops_per_image": crops_per_image,
         "wall_s": round(dt, 1),
         "projected_competition_pass_min": round(projected_min, 1),
