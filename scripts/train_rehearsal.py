@@ -184,7 +184,8 @@ def synth_workspace(ws: str, scale: float, seed: int = 0) -> str:
 
 
 def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
-               precision: str, repo_root: str, extra_opts=()) -> dict:
+               precision: str, repo_root: str, extra_opts=(),
+               backbone: str = "RN50") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -211,7 +212,7 @@ def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
     set_random_seed(seed)
 
     rec = {"recipe": name, "yaml": yaml_name, "seed": seed,
-           "precision": precision}
+           "precision": precision, "backbone": backbone}
     t0 = time.perf_counter()
     # dataset build ON the clock: corpus reads, synonym labeling, BPE
     # tokenization, template/category-set synthesis, pickle-cache writes
@@ -220,7 +221,7 @@ def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
     t1 = time.perf_counter()
     rec["samples"] = int(len(dataset))
 
-    clip_cfg = PRESETS["RN50"]
+    clip_cfg = PRESETS[backbone]
     # random init: real OpenAI weights are unobtainable here (zero egress);
     # identical compute and memory traffic to trained weights
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -271,6 +272,9 @@ def main():
                     help="corpus scale factor (1.0 = reference counts)")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"],
                     help="frozen-tower precision (bf16 = TPU posture)")
+    ap.add_argument("--backbone", default="RN50",
+                    help="CLIP preset (RN50 = the reference's; RN-TEST for "
+                         "CPU smoke/e2e tests)")
     ap.add_argument("--recipes", default="",
                     help="comma-separated subset (default: all six)")
     ap.add_argument("--cpu", action="store_true",
@@ -311,7 +315,8 @@ def main():
         print(f"[rehearsal] === {name} ({yaml_name}.yaml, seed {seed}) ===",
               flush=True)
         rec = run_recipe(name, yaml_name, seed, pick, ws, args.precision,
-                         repo_root, extra_opts=args.opts or [])
+                         repo_root, extra_opts=args.opts or [],
+                         backbone=args.backbone)
         with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         done[name] = rec
@@ -328,6 +333,7 @@ def main():
         "recipes": {r["recipe"]: r["wall_s"] for r in measured},
         "train_seconds": round(sum(r["train_s"] for r in measured), 1),
         "precision": args.precision,
+        "backbone": args.backbone,
         "scale": args.scale,
         "suite_session_s": round(time.perf_counter() - t_suite, 1),
         # ref README.md:16: 40-50 h on an A40 for the same six runs

@@ -147,3 +147,47 @@ def test_rehearsal_model_dir_mode(tmp_path):
         preds = json.load(f)
     assert len(preds) == 6 and all(len(row) == 80 for row in preds)
     assert np.isfinite(np.asarray(preds, np.float64)).all()
+
+
+@pytest.mark.slow
+def test_train_rehearsal_end_to_end(tmp_path):
+    """scripts/train_rehearsal.py end-to-end on CPU with the tiny backbone:
+    one recipe (best, 5 epochs so the picked epoch-4 checkpoint exists, as
+    train_2.sh:30-52 copies it), synthetic workspace at tiny scale — asserts
+    the measurement record's contract, the best_model/ checkpoint copy, and
+    that a re-run skips the already-measured recipe (resumability)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    cmd = [
+        sys.executable, "scripts/train_rehearsal.py", "--cpu",
+        "--workspace", str(tmp_path), "--scale", "0.0005",
+        "--backbone", "RN-TEST", "--recipes", "best",
+        "DATALOADER.BATCH_SIZE_TRAIN", "256",
+    ]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                       text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-4000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["unit"] == "seconds" and summary["value"] > 0
+    assert summary["backbone"] == "RN-TEST"
+    assert list(summary["recipes"]) == ["best"]
+
+    with open(tmp_path / "rehearsal_results.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["recipe"] == "best" and rec["seed"] == 0
+    assert rec["epochs"] == 5 and rec["samples"] > 0
+    assert rec["captions_per_s"] > 0
+    assert np.isfinite(rec["probe_mAP"])
+    # train_2.sh copies epoch 4 for `best`; the rehearsal mirrors that
+    assert rec["picked_epoch"] == 4
+    assert os.path.exists(tmp_path / "best_model" / "best" / "model.ckpt")
+
+    # re-run: the measured recipe is skipped, summary totals unchanged
+    r2 = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                        text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    assert "already measured" in r2.stdout
+    summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary2["recipes"] == summary["recipes"]
