@@ -207,6 +207,11 @@ def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
         ] + list(extra_opts),
         OUTPUT_DIR=out_dir,
         SEED=seed,
+        # resume from the newest checkpoint if a previous session was cut
+        # short (the axon tunnel can wedge one in-flight RPC forever — see
+        # STATUS.md environment lessons; scripts/run_train_rehearsal_supervised.sh
+        # restarts the process and this makes the restart continue, not redo)
+        RESUME=out_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
     set_random_seed(seed)
@@ -230,7 +235,12 @@ def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
     trainer = build_trainer(cfg, clip_params, clip_cfg, dataset=dataset)
     t2 = time.perf_counter()
 
-    trainer.train(resume=False)
+    from leclip_tpu.engine.checkpoint import latest_checkpoint
+
+    prior = latest_checkpoint(out_dir, trainer.model_name)
+    if prior:  # wall_s then covers only this final session — flag it
+        rec["resumed_from_ckpt"] = os.path.basename(prior)
+    trainer.train(resume=True)
     t3 = time.perf_counter()
 
     probe = trainer.validate()
