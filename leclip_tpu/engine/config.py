@@ -128,6 +128,12 @@ class TrainConfig:
                                 # dispatch round trip with compute), 1
                                 # elsewhere (CPU collectives deadlock past
                                 # ~hundreds of queued steps)
+    prefetch_batches: int = 0   # device-prefetch depth for the train loop:
+                                # N > 0 uploads batch N+1 from a background
+                                # thread while batch N computes (the ~32 ms
+                                # device_put RPC otherwise lands on the loop
+                                # — measured 31.6 ms/step on the RN50
+                                # rehearsal); 0 = inline upload
     IF_LEARN_SCALE: bool = False
     IF_LEARN_spatial_SCALE: bool = False
     spatial_SCALE_text: float = 50.0

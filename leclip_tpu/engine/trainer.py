@@ -39,7 +39,7 @@ from ..models.dense_clip import (
 )
 from ..models.prompt import assemble_prompts, build_prompt_learner, ema_update
 from ..ops import losses as L
-from ..parallel.mesh import data_mesh, replicate, shard_batch
+from ..parallel.mesh import data_mesh, prefetch_sharded, replicate, shard_batch
 from ..parallel.multihost import is_primary
 from ..utils.logging import MetricMeter, profiler_trace
 from ..utils.registry import TRAINER_REGISTRY
@@ -394,10 +394,13 @@ class CaptionDistillTrainer:
                       writer, sync_every, print_freq, steps_per_epoch,
                       t_start, profiling, prof_start, prof_stop):
         self._prof_cm = None
+        prefetch = cfg.TRAIN.prefetch_batches
         for epoch in range(start_epoch, max_epoch):
             t_epoch = time.time()
-            for i, batch in enumerate(self.batcher.epoch(epoch)):
-                sb = shard_batch(batch, self.mesh)
+            device_batches = prefetch_sharded(
+                self.batcher.epoch(epoch), self.mesh, depth=prefetch
+            )
+            for i, sb in enumerate(device_batches):
                 self.state, metrics = self.train_step(
                     self.state, sb["img"], sb["label"]
                 )

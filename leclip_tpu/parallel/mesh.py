@@ -49,6 +49,81 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding) if _is_array(x) else x, batch)
 
 
+def prefetch_sharded(batches, mesh: Mesh, depth: int = 2, axis: str = "data"):
+    """Iterate host batches, uploading each via ``shard_batch`` from a
+    background thread so batch N+1's host→device transfer overlaps batch N's
+    on-device compute.
+
+    On a networked TPU every ``device_put`` is a synchronous ~32 ms host RPC
+    (STATUS.md environment lessons); paying it inline in the train loop adds
+    one full round trip per step — measured 31.6 ms/step on the RN50
+    prompt-tuning rehearsal, ~22% of the 144 ms step. The producer thread
+    spends that time in network I/O (GIL released), so overlap is real even
+    on this 1-CPU host. ``depth <= 0`` falls back to inline upload —
+    byte-identical methodology to the plain loop.
+
+    The reference's analogue is torch DataLoader pin_memory+workers feeding
+    cudaMemcpyAsync (dassl/data/data_manager.py:95-112); here the decoded
+    batch is tiny (tokens + labels) and the TRANSFER is the cost, so one
+    upload thread replaces the worker pool."""
+    if depth <= 0:
+        for b in batches:
+            yield shard_batch(b, mesh, axis)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    done = object()
+    failure = []
+
+    def producer():
+        try:
+            for b in batches:
+                sb = shard_batch(b, mesh, axis)  # the expensive RPC, off-loop
+                while not stop.is_set():
+                    try:
+                        q.put(sb, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            failure.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(done, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=producer, daemon=True, name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+    finally:
+        # Reap the producer whether the epoch completed, the consumer raised
+        # (NaN guard), or the generator was abandoned: unblock any pending
+        # q.put, then join.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=30.0)
+    if failure:
+        raise failure[0]
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (params, constants, banks).
     Non-array leaves (static metadata like name_lens) pass through."""

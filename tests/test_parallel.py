@@ -7,6 +7,7 @@ import numpy as np
 from leclip_tpu.parallel.mesh import (
     data_mesh,
     pad_to_multiple,
+    prefetch_sharded,
     replicate,
     shard_along,
     shard_batch,
@@ -59,6 +60,67 @@ def test_sharded_computation_reduces_correctly():
     sx = shard_batch({"x": x}, mesh)["x"]
     got = float(jax.jit(lambda a: a.mean())(sx))
     np.testing.assert_allclose(got, x.mean(), rtol=1e-6)
+
+
+def test_prefetch_sharded_matches_inline():
+    """The prefetch thread must yield the same device batches, in order,
+    with the same sharding as the inline shard_batch loop — for every depth
+    including the depth<=0 inline fallback."""
+    mesh = data_mesh()
+    rng = np.random.default_rng(1)
+    batches = [
+        {"img": rng.integers(0, 100, (16, 7), dtype=np.int32),
+         "label": rng.normal(size=(16, 4)).astype(np.float32)}
+        for _ in range(5)
+    ]
+    want = [shard_batch(b, mesh) for b in batches]
+    for depth in (0, 1, 3):
+        got = list(prefetch_sharded(iter(batches), mesh, depth=depth))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g["img"].sharding == w["img"].sharding
+            np.testing.assert_array_equal(np.asarray(g["img"]), np.asarray(w["img"]))
+            np.testing.assert_array_equal(np.asarray(g["label"]), np.asarray(w["label"]))
+
+
+def test_prefetch_sharded_propagates_producer_error():
+    """An exception inside the batch iterator must surface in the consumer,
+    not die silently in the thread."""
+    mesh = data_mesh()
+
+    def bad_batches():
+        yield {"x": np.zeros((8, 2), np.float32)}
+        raise RuntimeError("boom in producer")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        list(prefetch_sharded(bad_batches(), mesh, depth=2))
+
+
+def test_prefetch_sharded_reaps_thread_on_abandonment():
+    """Breaking out of the consumer (NaN guard path) must not leave the
+    producer thread blocked on a full queue."""
+    import threading
+
+    mesh = data_mesh()
+    n_before = threading.active_count()
+
+    def many_batches():
+        for _ in range(100):
+            yield {"x": np.zeros((8, 2), np.float32)}
+
+    it = prefetch_sharded(many_batches(), mesh, depth=1)
+    next(it)
+    it.close()  # abandon mid-epoch — the generator's finally reaps the thread
+    # the producer must exit promptly (no lingering batch-prefetch thread)
+    deadline = 50
+    while threading.active_count() > n_before and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= n_before
 
 
 def test_process_local_data_path_equivalent():

@@ -254,6 +254,24 @@ def test_sync_every_pipelined_loop_identical(tmp_path):
     )
 
 
+def test_prefetch_batches_loop_identical(tmp_path):
+    """TRAIN.prefetch_batches > 0 (the background-thread batch uploader that
+    hides the ~32 ms device_put RPC per step on a networked TPU) only changes
+    WHERE the upload happens, never batch order or update math: a full
+    train() with prefetch depth 2 must produce bit-identical prompt params
+    to the inline-upload run."""
+    ref = make_trainer(tmp_path / "a", **{"OPTIM.MAX_EPOCH": 2})
+    pre = make_trainer(tmp_path / "b", **{"TRAIN.prefetch_batches": 2,
+                                          "OPTIM.MAX_EPOCH": 2})
+    s_ref = ref.train(resume=False)
+    s_pre = pre.train(resume=False)
+    assert int(s_ref.step) == int(s_pre.step) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_ref.params, s_pre.params,
+    )
+
+
 def test_preemption_resume_matches_uninterrupted(tmp_path):
     """The full preemption story (SURVEY §5 checkpoint/resume): train 2
     epochs, lose the process, reconstruct the trainer from scratch in a
