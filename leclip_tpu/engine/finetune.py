@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from ..models.clip import CLIPConfig, clip_encode_image, clip_encode_text
-from ..parallel.mesh import data_mesh, replicate, shard_batch
+from ..parallel.mesh import data_mesh, prefetch_sharded, replicate, shard_batch
 
 MAX_LOGIT_SCALE = float(np.log(100.0))
 
@@ -218,22 +218,57 @@ class CLIPFineTuner:
 
     # ------------------------------- loops -----------------------------------
 
-    def fit(self, batches, log_every: int = 10, metrics_writer=None):
-        """batches: iterable of {'image': [B,H,W,3] float, 'tokens': [B,77]}."""
-        for i, batch in enumerate(batches):
-            sb = shard_batch(batch, self.mesh)
-            self.state, metrics = self.train_step(self.state, sb["image"], sb["tokens"])
-            loss = float(metrics["loss"])
+    @staticmethod
+    def _sync_cadence(sync_every: int, log_every: int) -> int:
+        """0 = auto: defer host syncs to log boundaries on TPU (each float()
+        costs a ~32 ms tunnel round trip — same rule as trainer.train's
+        TRAIN.sync_every); per-step elsewhere (CPU in-process collectives
+        deadlock past ~hundreds of queued steps, and tests want NaNs now)."""
+        if sync_every > 0:
+            return sync_every
+        return max(log_every, 1) if jax.default_backend() == "tpu" else 1
+
+    def _drain_metrics(self, pending, writer, where: str):
+        """Fetch queued per-step device metrics in one host pass; per-step
+        JSONL rows are preserved — only WHEN they convert moves."""
+        for step, m in pending:
+            loss = float(m["loss"])
             if not np.isfinite(loss):
-                raise FloatingPointError(f"non-finite loss at step {i}")
-            if metrics_writer is not None:
-                metrics_writer.write_scalars(
-                    {"loss": loss, "acc": float(metrics["acc"])},
-                    int(self.state.step), prefix="finetune/",
+                raise FloatingPointError(f"non-finite loss at {where}")
+            if writer is not None:
+                writer.write_scalars(
+                    {"loss": loss, "acc": float(m["acc"])}, step,
+                    prefix="finetune/",
                 )
+        last = pending[-1][1]
+        pending.clear()
+        return float(last["loss"]), float(last["acc"])
+
+    def fit(self, batches, log_every: int = 10, metrics_writer=None,
+            prefetch: int = 0, sync_every: int = 0):
+        """batches: iterable of {'image': [B,H,W,3] float, 'tokens': [B,77]}.
+
+        prefetch > 0 uploads batch N+1 from a background thread while batch N
+        computes; sync_every (0 = auto) batches the device→host metric
+        fetches so the loop pipelines on-device between log boundaries."""
+        sync = self._sync_cadence(sync_every, log_every)
+        pending = []
+        step0 = int(self.state.step)  # fetched ONCE; int(step) per step would
+        for i, sb in enumerate(       # re-serialise the loop on the tunnel
+            prefetch_sharded(batches, self.mesh, depth=prefetch)
+        ):
+            self.state, metrics = self.train_step(self.state, sb["image"], sb["tokens"])
+            pending.append((step0 + i + 1, metrics))
+            if (i + 1) % sync != 0 and (i + 1) % log_every != 0:
+                continue
+            loss, acc = self._drain_metrics(
+                pending, metrics_writer, f"step {i}"
+            )
             if (i + 1) % log_every == 0:
                 print(f"finetune step {i + 1}: loss {loss:.4f} "
-                      f"acc {float(metrics['acc']):.3f}")
+                      f"acc {acc:.3f}")
+        if pending:
+            self._drain_metrics(pending, metrics_writer, "final step")
         return self.state
 
     def fit_pairs(
@@ -245,6 +280,8 @@ class CLIPFineTuner:
         resume: bool = True,
         seed: int = 0,
         log_every: int = 10,
+        prefetch: int = 0,
+        sync_every: int = 0,
     ):
         """Full (image, caption) pipeline: per-epoch shuffled PairBatcher
         batches → device-side augmentation fused into the train step →
@@ -272,27 +309,30 @@ class CLIPFineTuner:
                 if start_epoch and primary:
                     print(f"resumed {name} at epoch {start_epoch} "
                           f"(step {int(self.state.step)})")
+        sync = self._sync_cadence(sync_every, log_every)
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
-            for i, batch in enumerate(pair_batcher.epoch(epoch)):
+            pending = []
+            step0 = int(self.state.step)
+            for i, sb in enumerate(prefetch_sharded(
+                pair_batcher.epoch(epoch), self.mesh, depth=prefetch
+            )):
                 step_seed = np.int32((seed * 1_000_003 + epoch * 100_000 + i)
                                      % (2**31 - 1))
-                sb = shard_batch(batch, self.mesh)
                 self.state, metrics = step_fn(
                     self.state, step_seed, sb["image_u8"], sb["content"], sb["tokens"]
                 )
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} step {i}"
-                    )
-                if writer is not None:
-                    writer.write_scalars(
-                        {"loss": loss, "acc": float(metrics["acc"])},
-                        int(self.state.step), prefix="finetune/",
-                    )
+                pending.append((step0 + i + 1, metrics))
+                if (i + 1) % sync != 0 and (i + 1) % log_every != 0:
+                    continue
+                loss, _ = self._drain_metrics(
+                    pending, writer, f"epoch {epoch} step {i}"
+                )
                 if (i + 1) % log_every == 0 and primary:
                     print(f"epoch {epoch} step {i + 1}: loss {loss:.4f}")
+            if pending:
+                self._drain_metrics(pending, writer,
+                                    f"epoch {epoch} final step")
             if output_dir and primary:
                 self.save(output_dir, name, epoch)
                 writer.flush()

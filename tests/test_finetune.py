@@ -111,6 +111,50 @@ def test_pair_pipeline_train_then_resume(tmp_path):
     assert abs(float(ft2.state.params["logit_scale"]) - float(p_ckpt)) < 0.5
 
 
+def test_pair_pipeline_prefetch_and_deferred_sync_identical(tmp_path):
+    """prefetch (background batch upload) and sync_every (deferred metrics
+    fetch) change only WHERE/WHEN host I/O happens: params, step counter,
+    and the per-step JSONL rows must be identical to the inline run."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from leclip_tpu.data.loader import PairBatcher
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    paths, caps = [], []
+    for i in range(16):
+        p = str(d / f"p{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+        caps.append(f"a photo of sample {i}")
+
+    def run(out, **kw):
+        batcher = PairBatcher(paths, captions=caps, batch_size=8,
+                              bucket=(96, 96))
+        ft = CLIPFineTuner(init_clip_params(jax.random.PRNGKey(0), TINY_RN),
+                           TINY_RN, lr=1e-4, warmup_steps=0, total_steps=20,
+                           remat=False)
+        ft.fit_pairs(batcher, epochs=2, output_dir=out, log_every=100, **kw)
+        rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+        return ft.state, rows
+
+    s_ref, rows_ref = run(str(tmp_path / "a"))
+    s_pre, rows_pre = run(str(tmp_path / "b"), prefetch=2, sync_every=3)
+    assert int(s_ref.step) == int(s_pre.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_ref.params, s_pre.params,
+    )
+    assert [(r["tag"], r["step"], r["value"]) for r in rows_ref] == \
+           [(r["tag"], r["step"], r["value"]) for r in rows_pre]
+
+
 def test_decay_mask_structure():
     params = init_clip_params(jax.random.PRNGKey(0), TINY_RN)
     mask = CLIPFineTuner._decay_mask(params)
