@@ -14,9 +14,15 @@
 # start→finish time, stall-and-restart overhead included.
 #
 # Usage: bash scripts/run_train_rehearsal_supervised.sh [WORKSPACE] [LOG] [extra args...]
-#   STALL_SECS=480   restart when the log is silent this long (covers the
-#                    longest legitimately-quiet phases: dataset build and
-#                    first XLA compile of a new recipe geometry)
+#   STALL_SECS=1200  restart when the log is silent this long. Must cover the
+#                    longest legitimately-quiet phases: full-scale dataset
+#                    build (~9 min first time), a new recipe geometry's first
+#                    XLA compile, AND a fresh process's first device contact,
+#                    which on a degraded tunnel can take up to ~10 min
+#                    (STATUS.md environment lessons). 480 s was measured too
+#                    tight at scale 1.0: it killed a healthy first compile
+#                    and would kill every restart the same way (the compile
+#                    cache only helps once a compile COMPLETES).
 #   MAX_RESTARTS=40  give up after this many restarts (a real crash loops
 #                    fast; 40 × a few minutes of stall is a tunnel outage)
 set -u
@@ -24,7 +30,7 @@ WS=${1:-/tmp/train_rehearsal}
 LOG=${2:-/tmp/train_rehearsal.log}
 shift 2>/dev/null || true
 shift 2>/dev/null || true
-STALL=${STALL_SECS:-480}
+STALL=${STALL_SECS:-1200}
 MAX_RESTARTS=${MAX_RESTARTS:-40}
 PY=${PYTHON:-/opt/venv/bin/python}
 HERE=$(cd "$(dirname "$0")/.." && pwd)
@@ -33,6 +39,11 @@ restarts=0
 while true; do
   "$PY" "$HERE/scripts/train_rehearsal.py" --workspace "$WS" "$@" >> "$LOG" 2>&1 &
   PID=$!
+  # pid file so an outer controller can stop the MEASUREMENT process
+  # directly (kill $(cat child.pid)) instead of pattern-matching process
+  # names; the supervisor itself exits once the child is gone and the
+  # results JSONL marks the suite resumable.
+  echo "$PID" > "$WS/child.pid"
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
