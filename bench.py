@@ -11,7 +11,8 @@ BOTH precisions are measured in one run: the W8A8 int8 pallas-kernel path
 tests/test_quant_gate.py) and the unquantized bf16 path. The JSON line
 carries the int8 number as `value` and the bf16 number as `value_bf16`
 so the driver records the pair. BENCH_PREC=int8|bf16 restricts to one
-precision; batch via BENCH_BATCH (default 16).
+precision; batch via BENCH_BATCH (default 16). Each precision reports the
+median of 3 timed passes (tunnel-variance pinning).
 
 Baseline: the reference does ≈9.8M crop-forwards in 10–12 h on an A40
 (≈250 crop-forwards/s; BASELINE.md "Implied reference throughput").
@@ -89,19 +90,28 @@ def main():
         # of input vs GB/s host links; re-staging per batch over THIS dev
         # tunnel adds ±4% network noise). The sustained number WITH host
         # decode + staging on-thread is measured by scripts/rehearsal.py.
+        # median of 3 timed passes: the shared axon tunnel adds run-to-run
+        # variance (r2→r3 the driver recorded a −1.2% dip that local runs
+        # didn't reproduce); the compile is already warm so the extra passes
+        # cost ~50 s total and pin the reported number against outliers.
         iters = 20
         staged = engine.stage_batch_fused(images)
-        outs = []
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            outs.append(engine.dispatch_staged_fused(staged))
-            if len(outs) > 2:
-                np.asarray(outs.pop(0))  # consume depth-2 behind the dispatch
-        for o in outs:
-            np.asarray(o)
-        dt = time.perf_counter() - t0
-        crops_per_sec = iters * batch_images * crops_per_image / dt
-        log(f"[{precision}] {crops_per_sec:.1f} crop-forwards/s")
+        passes = []
+        for p in range(3):
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                outs.append(engine.dispatch_staged_fused(staged))
+                if len(outs) > 2:
+                    np.asarray(outs.pop(0))  # consume depth-2 behind dispatch
+            for o in outs:
+                np.asarray(o)
+            dt = time.perf_counter() - t0
+            passes.append(iters * batch_images * crops_per_image / dt)
+            log(f"[{precision}] pass {p + 1}/3: {passes[-1]:.1f} crop-forwards/s")
+        crops_per_sec = float(np.median(passes))
+        log(f"[{precision}] median {crops_per_sec:.1f} crop-forwards/s "
+            f"(spread {min(passes):.1f}–{max(passes):.1f})")
         return crops_per_sec
 
     only = os.environ.get("BENCH_PREC", "")

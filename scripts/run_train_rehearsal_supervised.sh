@@ -25,6 +25,12 @@
 #                    cache only helps once a compile COMPLETES).
 #   MAX_RESTARTS=40  give up after this many restarts (a real crash loops
 #                    fast; 40 × a few minutes of stall is a tunnel outage)
+#   touch $WS/STOP    ask the supervisor to stop: it kills the child, does
+#                    NOT restart, and exits 0 (the results JSONL keeps the
+#                    suite resumable). This is the supported way for an
+#                    outer controller to end the measurement — killing the
+#                    child alone makes it exit nonzero, which the rc!=0
+#                    branch would otherwise treat as a crash and restart.
 set -u
 WS=${1:-/tmp/train_rehearsal}
 LOG=${2:-/tmp/train_rehearsal.log}
@@ -35,17 +41,29 @@ MAX_RESTARTS=${MAX_RESTARTS:-40}
 PY=${PYTHON:-/opt/venv/bin/python}
 HERE=$(cd "$(dirname "$0")/.." && pwd)
 
+mkdir -p "$WS"   # the child also creates it, but the pid-file write below
+                 # must not race that (a fresh workspace would otherwise
+                 # silently swallow the redirect failure — no set -e)
+rm -f "$WS/STOP"
+cleanup() { rm -f "$WS/child.pid"; }
+trap cleanup EXIT
+
 restarts=0
 while true; do
   "$PY" "$HERE/scripts/train_rehearsal.py" --workspace "$WS" "$@" >> "$LOG" 2>&1 &
   PID=$!
   # pid file so an outer controller can stop the MEASUREMENT process
   # directly (kill $(cat child.pid)) instead of pattern-matching process
-  # names; the supervisor itself exits once the child is gone and the
-  # results JSONL marks the suite resumable.
+  # names. For an orderly stop use `touch $WS/STOP` (see header).
   echo "$PID" > "$WS/child.pid"
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
+    if [ -e "$WS/STOP" ]; then
+      echo "[supervisor] STOP sentinel seen — ending measurement" >> "$LOG"
+      kill -9 "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null
+      exit 0
+    fi
     age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
     if [ "$age" -gt "$STALL" ]; then
       echo "[supervisor] log silent ${age}s — killing $PID to restart" >> "$LOG"
@@ -56,6 +74,10 @@ while true; do
   done
   wait "$PID"
   rc=$?
+  if [ -e "$WS/STOP" ]; then
+    echo "[supervisor] STOP sentinel seen — not restarting" >> "$LOG"
+    exit 0
+  fi
   if [ "$rc" -eq 0 ]; then
     echo "[supervisor] completed rc=0 after $restarts restart(s)" >> "$LOG"
     break
