@@ -119,6 +119,59 @@ def routing_vector(
     return r
 
 
+def learn_routing(
+    per_model_val: Dict[str, np.ndarray],
+    labels: np.ndarray,
+    base: str = "best",
+    margin: float = 0.0,
+    min_pos: int = 1,
+    confirm_splits: int = 1,
+) -> Dict[str, List[int]]:
+    """Fit a per-class routing table from validation scores.
+
+    The reference's routing table (gen_final_ans.py:143-149) was hand-picked
+    from validation results of the six members; this is the programmatic
+    analogue: class ``c`` is routed to member ``m`` when m's validation AP on
+    ``c`` exceeds the base member's by more than ``margin`` (and m is the
+    argmax over members). The margin keeps the table sparse like the
+    reference's (55 of 80 classes routed) and guards against routing on
+    validation noise; two further guards for small validation sets:
+    ``min_pos`` keeps a class on the base unless it has at least that many
+    validation positives (AP over a handful of positives is noise), and
+    ``confirm_splits=k`` additionally requires the specialist to beat the
+    base on every one of k interleaved validation folds (routing decisions
+    that flip between folds are overfit). Returns ``{member: [class
+    columns]}`` for ``route_ensemble`` / ``routing_vector``, base omitted."""
+    from ..engine.evaluator import average_precision
+
+    names = [n for n in per_model_val if n != base]
+    if base not in per_model_val:
+        raise ValueError(f"base member {base!r} missing from per_model_val")
+    labels = np.asarray(labels)
+    n_val, n_cls = labels.shape
+    folds = [slice(None)]
+    if confirm_splits > 1:
+        folds += [np.arange(f, n_val, confirm_splits)
+                  for f in range(confirm_splits)]
+    ap = {
+        name: np.array([
+            [average_precision(per_model_val[name][fold, c],
+                               labels[fold, c]) for c in range(n_cls)]
+            for fold in folds
+        ])  # [1 + confirm_splits, n_cls]
+        for name in per_model_val
+    }
+    routing: Dict[str, List[int]] = {n: [] for n in names}
+    for c in range(n_cls):
+        if labels[:, c].sum() < max(min_pos, 1):
+            continue  # too few validation positives — AP is noise, keep base
+        cand = max(names, key=lambda n: ap[n][0, c])
+        if ap[cand][0, c] > ap[base][0, c] + margin and (
+                ap[cand][1:, c] > ap[base][1:, c]).all():
+            routing[cand].append(c)
+    return {n: cols for n, cols in routing.items() if cols}
+
+
 def route_ensemble(
     per_model: Dict[str, np.ndarray],
     routing: Dict[str, List[int]] = DEFAULT_ROUTING,

@@ -1,0 +1,212 @@
+"""Closed-loop accuracy evaluation of the ensemble machinery: per-member →
+per-model fusion (fuse/fuse6) → learned per-class routing, all measured as
+mAP on a held-out LABELED caption benchmark.
+
+This is the missing utility evidence for the ensemble stage (the fusion math
+is golden vs the reference's executed gen_final_ans.py — parity was proven;
+this measures that the pipeline ADDS accuracy over the best single member,
+the property the winning submission's routing table encodes,
+ref /root/reference/project/my_code/gen_final_ans.py:114-162).
+
+Benchmark construction: a FRESH synthetic caption set (generator shared with
+scripts/train_rehearsal.py, different seed — no member ever trained on these
+captions), labeled by the same synonym labeler the training datasets use,
+scored through the captions-as-images block analogue
+(leclip_tpu/inference/caption_eval.py). The routing table is FIT on a
+validation split (the programmatic analogue of the reference's hand-picked
+table, ops/ensemble.learn_routing) and evaluated on the disjoint test split.
+
+Usage (after scripts/train_rehearsal.py has populated {ws}/best_model):
+    python scripts/ensemble_eval.py --workspace /tmp/train_rehearsal
+Writes {ws}/ensemble_accuracy.json and prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def make_labeled_captions(n: int, seed: int):
+    """Fresh labeled captions: reference-style sentences (same generator the
+    training rehearsal corpus uses → in-distribution but disjoint), labels
+    from the production synonym labeler (the labeling contract, ref
+    utils_pre_data.py get_class)."""
+    from train_rehearsal import _sentence
+
+    from leclip_tpu.data.labeling import CaptionLabeler
+    from leclip_tpu.data.tokenizer import tokenize
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES as CLS
+
+    rng = np.random.default_rng(seed)
+    labeler = CaptionLabeler()
+    captions, labels = [], []
+    n_cls = len(CLS)
+    while len(captions) < n:
+        k = int(rng.integers(1, 5))
+        names = [CLS[j] for j in rng.choice(n_cls, k, replace=False)]
+        cap = _sentence(rng, names)
+        lab = np.asarray(labeler(cap), np.float32)  # multi-hot vector
+        if not lab.any():
+            continue
+        captions.append(cap)
+        labels.append(lab)
+    tokens = tokenize(captions)
+    return tokens, np.stack(labels)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workspace", default="/tmp/train_rehearsal")
+    ap.add_argument("--n", type=int, default=6000)
+    ap.add_argument("--seed", type=int, default=123,
+                    help="benchmark seed (training corpora use seed 0)")
+    ap.add_argument("--margin", type=float, default=0.02,
+                    help="val-AP margin a specialist must clear to take a "
+                         "class from the base member")
+    ap.add_argument("--min-pos", type=int, default=20,
+                    help="minimum validation positives before a class may "
+                         "be routed off the base")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--backbone", default="RN50")
+    ap.add_argument("--bank-size", type=int, default=0,
+                    help="cap the caption bank rows (0 = full corpus)")
+    ap.add_argument("--no-bank", action="store_true",
+                    help="skip retrieval sims (zeros) — CPU smoke")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/leclip_jax_cache")
+
+    import pickle
+
+    import jax.numpy as jnp
+
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
+    from leclip_tpu.engine.config import setup_config
+    from leclip_tpu.engine.evaluator import MLClassificationEvaluator, mAP
+    from leclip_tpu.inference.caption_eval import score_caption_benchmark
+    from leclip_tpu.inference.pipeline import (build_caption_bank,
+                                               load_ensemble_specs)
+    from leclip_tpu.models.clip import PRESETS, init_clip_params
+    from leclip_tpu.ops.ensemble import (learn_routing, model_result,
+                                         route_ensemble)
+
+    ws = os.path.abspath(args.workspace)
+    model_dir = os.path.join(ws, "best_model")
+    clip_cfg = PRESETS[args.backbone]
+    cfg = setup_config()
+    # the SAME deterministic random towers training used (zero egress — real
+    # weights unobtainable; prompts and towers must be mutually consistent)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
+                                       dtype=jnp.float32)
+    clip_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, clip_params)
+    specs = load_ensemble_specs(cfg, clip_params, clip_cfg,
+                                list(COCO_OBJECT_CATEGORIES), model_dir)
+    print(f"[ensemble_eval] members: {sorted(specs)}", flush=True)
+
+    bank = None
+    if not args.no_bank:
+        tok_path = os.path.join(
+            ws, "text_result", "generated_captions",
+            "ChatGLM_multi_labels_filtered_all_caption_tokenized.pkl")
+        if os.path.exists(tok_path):
+            with open(tok_path, "rb") as f:
+                bank_tokens = np.asarray(pickle.load(f))
+            if args.bank_size:
+                bank_tokens = bank_tokens[:args.bank_size]
+            t0 = time.time()
+            bank = build_caption_bank(clip_params, clip_cfg, bank_tokens,
+                                      precision="bf16")
+            print(f"[ensemble_eval] caption bank: {bank.shape[0]} rows in "
+                  f"{time.time() - t0:.1f}s", flush=True)
+        else:
+            print(f"[ensemble_eval] no tokenized corpus at {tok_path} — "
+                  "retrieval sims zeroed", flush=True)
+
+    tokens, labels = make_labeled_captions(args.n, args.seed)
+    print(f"[ensemble_eval] benchmark: {len(tokens)} labeled captions, "
+          f"{labels.sum(0).min():.0f}-{labels.sum(0).max():.0f} positives/class",
+          flush=True)
+
+    t0 = time.time()
+    per_model, sims_blocks = score_caption_benchmark(
+        clip_params, clip_cfg, specs, tokens, bank=bank,
+        batch_size=args.batch)
+    score_s = time.time() - t0
+
+    # interleaved split → iid val (routing fit) / test (all reported numbers)
+    n = len(tokens)
+    val_idx = np.arange(0, n, 2)
+    test_idx = np.arange(1, n, 2)
+
+    def split(x, idx):
+        return x[idx]
+
+    base = "best" if "best" in per_model else sorted(per_model)[0]
+    report = {"members": {}, "n_val": len(val_idx), "n_test": len(test_idx)}
+    fused_val, fused_test = {}, {}
+    for name, outs in per_model.items():
+        ev = MLClassificationEvaluator(cfg.TRAINER.GL_merge_rate)
+        ev.process(split(outs["output"], test_idx), split(labels, test_idx),
+                   split(outs["output_pos"], test_idx))
+        alone = ev.evaluate()["mAP"]
+        fused = model_result(
+            outs, sims_blocks,
+            use_fuse6=(name == base),
+            aux_coef=1.5 if name == base else 1.0)
+        fused_val[name] = split(fused, val_idx)
+        fused_test[name] = split(fused, test_idx)
+        fused_mAP = mAP(split(labels, test_idx), fused_test[name])
+        report["members"][name] = {"alone_mAP": round(alone, 3),
+                                   "fused_mAP": round(fused_mAP, 3)}
+        print(f"[ensemble_eval] {name}: alone {alone:.3f} → fused "
+              f"{fused_mAP:.3f}", flush=True)
+
+    routing = learn_routing(fused_val, split(labels, val_idx), base=base,
+                            margin=args.margin, min_pos=args.min_pos,
+                            confirm_splits=2)
+    routed = route_ensemble(fused_test, routing, base=base)
+    routed_mAP = mAP(split(labels, test_idx), routed)
+    best_single = max(report["members"].items(),
+                      key=lambda kv: kv[1]["fused_mAP"])
+    summary = {
+        "metric": "routed-ensemble mAP vs best single member (held-out labeled captions)",
+        "routed_mAP": round(routed_mAP, 3),
+        "best_single": best_single[0],
+        "best_single_mAP": best_single[1]["fused_mAP"],
+        "delta": round(routed_mAP - best_single[1]["fused_mAP"], 3),
+        "base": base,
+        "routed_classes": {m: len(c) for m, c in routing.items()},
+        "margin": args.margin,
+        "min_pos": args.min_pos,
+        "n_benchmark": n,
+        "bank_rows": int(bank.shape[0]) if bank is not None else 0,
+        "score_seconds": round(score_s, 1),
+        "members": report["members"],
+    }
+    report.update(summary, routing={m: list(map(int, c))
+                                    for m, c in routing.items()})
+    out_path = os.path.join(ws, "ensemble_accuracy.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
