@@ -12,18 +12,17 @@ from typing import Dict
 
 class MetricsWriter:
     """Append-only ``metrics.jsonl`` of {step, tag, value, time}; mirrors to
-    tensorboardX if importable (not baked into this image)."""
+    a native TensorBoard event file (utils/tb_events.py — drop-in for the
+    reference's SummaryWriter dashboards) unless ``tensorboard=False``."""
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, tensorboard: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         self._file = open(os.path.join(output_dir, "metrics.jsonl"), "a")
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter  # optional
+        if tensorboard:
+            from ..utils.tb_events import EventFileWriter
 
-            self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
-        except Exception:
-            pass
+            self._tb = EventFileWriter(os.path.join(output_dir, "tb"))
 
     def write_scalar(self, tag: str, value: float, step: int) -> None:
         rec = {"step": int(step), "tag": tag, "value": float(value), "time": time.time()}
@@ -37,6 +36,8 @@ class MetricsWriter:
 
     def flush(self):
         self._file.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._file.close()
