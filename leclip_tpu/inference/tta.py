@@ -411,13 +411,24 @@ class TTAEngine:
 
     def _put_batch(self, *arrays):
         """Host arrays → device: batch-sharded over the mesh's first axis, or
-        plain asarray single-device."""
+        plain asarray single-device. Multi-process meshes assemble the global
+        array from identical per-process host copies (every process runs the
+        engine over the SAME image list — parallel/mesh.put_global)."""
         if self.mesh is None:
             return tuple(jnp.asarray(a) for a in arrays)
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import PartitionSpec
 
-        sh = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
-        return tuple(jax.device_put(a, sh) for a in arrays)
+        from ..parallel.mesh import put_global
+
+        spec = PartitionSpec(self.mesh.axis_names[0])
+        return tuple(put_global(a, self.mesh, spec) for a in arrays)
+
+    def _fetch(self, out) -> np.ndarray:
+        """Device scores → host fp32, allgathering across processes when the
+        mesh spans them (each host only addresses its own shards)."""
+        from ..parallel.mesh import fetch_global
+
+        return np.asarray(fetch_global(out), np.float32)
 
     def _replicated(self, x):
         if self.mesh is None:
@@ -795,7 +806,7 @@ class TTAEngine:
     def run_batch_fused(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """Single-dispatch competition scoring → fused [B, n_cls] (the
         impreds.json numbers), everything on device."""
-        return np.asarray(self.dispatch_batch_fused(images), np.float32)
+        return self._fetch(self.dispatch_batch_fused(images))
 
     def stage_batch_fused(self, images: Sequence[np.ndarray]):
         """Host prep + device upload for one fused batch, WITHOUT dispatching
@@ -845,9 +856,9 @@ class TTAEngine:
         for images in batches:
             pending.append(self.dispatch_batch_fused(images))
             if len(pending) >= depth:
-                yield np.asarray(pending.popleft(), np.float32)
+                yield self._fetch(pending.popleft())
         while pending:
-            yield np.asarray(pending.popleft(), np.float32)
+            yield self._fetch(pending.popleft())
 
     def run_batches_fused_staged(self, batches, depth: int = 2,
                                  stage_ahead: int = 2):
@@ -900,9 +911,9 @@ class TTAEngine:
                     break
                 pending.append(self.dispatch_staged_fused(staged))
                 if len(pending) >= depth:
-                    yield np.asarray(pending.popleft(), np.float32)
+                    yield self._fetch(pending.popleft())
             while pending:
-                yield np.asarray(pending.popleft(), np.float32)
+                yield self._fetch(pending.popleft())
         finally:
             stop.set()
             try:  # drain so a producer mid-put can observe `stop` and exit

@@ -124,11 +124,39 @@ def prefetch_sharded(batches, mesh: Mesh, depth: int = 2, axis: str = "data"):
         raise failure[0]
 
 
+def put_global(x, mesh: Mesh, spec: P):
+    """Place one host array onto the mesh under ``spec``.
+
+    Single-process: plain ``device_put``. Multi-process (the mesh spans
+    processes): ``device_put`` cannot target non-addressable devices, so the
+    global array is assembled via ``jax.make_array_from_callback`` — each
+    process feeds its addressable shards from the SAME full host value
+    (contract: every process holds the identical array; this is the
+    inference-side complement of ``shard_batch``'s local-slice contract)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        xs = np.asarray(x)
+        return jax.make_array_from_callback(xs.shape, sharding,
+                                            lambda idx: xs[idx])
+    return jax.device_put(x, sharding)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Device array → full host numpy, multi-process aware: under one process
+    a plain ``np.asarray``; across processes each host can only read its
+    addressable shards, so the value is allgathered first."""
+    if jax.process_count() > 1 and isinstance(x, jax.Array):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (params, constants, banks).
     Non-array leaves (static metadata like name_lens) pass through."""
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding) if _is_array(x) else x, tree)
+    return jax.tree.map(
+        lambda x: put_global(x, mesh, P()) if _is_array(x) else x, tree)
 
 
 def shard_along(tree, mesh: Mesh, axis: str = "data", dim: int = 0):
@@ -137,7 +165,7 @@ def shard_along(tree, mesh: Mesh, axis: str = "data", dim: int = 0):
     def put(x):
         spec = [None] * x.ndim
         spec[dim] = axis
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return put_global(x, mesh, P(*spec))
     return jax.tree.map(put, tree)
 
 

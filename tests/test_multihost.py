@@ -121,6 +121,109 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def _run_workers(mode, tmp_path, timeout=900):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_multihost_infer_worker.py"),
+             mode, str(pid), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{mode} worker {pid} failed:\n{out}"
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"{mode}_{pid}.pkl", "rb") as f:
+            results.append(pickle.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_fused_inference_matches_single_process(tmp_path):
+    """The fused TTAEngine (incl. shard_bank ring-kNN retrieval) across TWO
+    real processes over one 4-device global mesh: every process feeds the
+    same image list, and the allgathered scores must (a) agree exactly
+    between the processes and (b) match a single-process control engine
+    (the reference's whole distributed story is train-only DDP,
+    train_caption.py:176-179 — inference here exceeds it)."""
+    results = _run_workers("infer", tmp_path)
+
+    for key in ("uniform", "mixed"):
+        np.testing.assert_array_equal(results[0][key], results[1][key])
+    for a, b in zip(results[0]["piped"], results[1]["piped"]):
+        np.testing.assert_array_equal(a, b)
+    # pipelined fetches return the same scores as the one-shot calls
+    np.testing.assert_array_equal(results[0]["piped"][0], results[0]["uniform"])
+    np.testing.assert_array_equal(results[0]["piped"][1], results[0]["mixed"])
+
+    # single-process control on a 4-device mesh built from this process's
+    # virtual devices (same mesh size → same sharded program)
+    sys.path.insert(0, HERE)
+    from _multihost_infer_worker import build_engine, make_images
+
+    from leclip_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(jax.devices()[:4])
+    engine = build_engine(mesh=mesh, shard_bank=True)
+    ctrl_uniform = engine.run_batch_fused(make_images(uniform=True))
+    ctrl_mixed = engine.run_batch_fused(make_images(uniform=False))
+    np.testing.assert_allclose(results[0]["uniform"], ctrl_uniform,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(results[0]["mixed"], ctrl_mixed,
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_resume_from_shared_checkpoint(tmp_path):
+    """Checkpoint resume under multihost: a fresh 2-process trainer resumes
+    from the rank-0-written checkpoint in a SHARED output dir and finishes
+    the run with both processes in lockstep; the result matches a
+    single-process control of the same train→resume→train sequence."""
+    results = _run_workers("resume", tmp_path)
+
+    for key in ("resumed_params", "final_params"):
+        for a, b in zip(_leaves(results[0][key]), _leaves(results[1][key])):
+            np.testing.assert_array_equal(a, b)
+    # epochs 2 and 3 (0-indexed) were trained post-resume — checkpoint
+    # numbering continues from the restored epoch; the resumed-params
+    # equality below pins the actual restore
+    names = os.listdir(tmp_path / "shared_out" / "prompt_learner")
+    assert {"model.ckpt-2", "model.ckpt-3"} <= set(names), names
+
+    # the phase-2 start state IS the phase-1 final (epoch-1) checkpoint,
+    # training moved past it, and the final rank-0 checkpoint holds the
+    # final params
+    from leclip_tpu.engine.checkpoint import load_checkpoint
+
+    ck1 = load_checkpoint(str(tmp_path / "shared_out" / "prompt_learner"
+                              / "model.ckpt-1"))
+    for got, want in zip(_leaves(results[0]["resumed_params"]),
+                         _leaves(ck1["params"])):
+        np.testing.assert_array_equal(got, want)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(_leaves(results[0]["resumed_params"]),
+                        _leaves(results[0]["final_params"]))
+    )
+    assert moved, "post-resume training did not update the params"
+    ck4 = load_checkpoint(str(tmp_path / "shared_out" / "prompt_learner"
+                              / "model.ckpt-3"))
+    for got, want in zip(_leaves(ck4["params"]),
+                         _leaves(results[0]["final_params"])):
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 def test_cluster_env_detection_requires_multiworker_evidence(monkeypatch):
     """Single-chip tunnels export TPU_WORKER_HOSTNAMES=localhost — that must
     NOT count as a pod (initialize() would then turn the benign
