@@ -160,12 +160,15 @@ def main():
 
     base = "best" if "best" in per_model else sorted(per_model)[0]
     report = {"members": {}, "n_val": len(val_idx), "n_test": len(test_idx)}
-    fused_val, fused_test = {}, {}
+    r = cfg.TRAINER.GL_merge_rate
+    merged_val, merged_test, fused_val, fused_test = {}, {}, {}, {}
     for name, outs in per_model.items():
-        ev = MLClassificationEvaluator(cfg.TRAINER.GL_merge_rate)
-        ev.process(split(outs["output"], test_idx), split(labels, test_idx),
-                   split(outs["output_pos"], test_idx))
-        alone = ev.evaluate()["mAP"]
+        # "alone" = the standard single-model score: GL-merged global+local
+        # (evaluator default_merge_aux semantics)
+        merged = r * outs["output"] + (1 - r) * outs["output_pos"]
+        merged_val[name] = split(merged, val_idx)
+        merged_test[name] = split(merged, test_idx)
+        alone = mAP(split(labels, test_idx), merged_test[name])
         fused = model_result(
             outs, sims_blocks,
             use_fuse6=(name == base),
@@ -178,19 +181,32 @@ def main():
         print(f"[ensemble_eval] {name}: alone {alone:.3f} → fused "
               f"{fused_mAP:.3f}", flush=True)
 
-    routing = learn_routing(fused_val, split(labels, val_idx), base=base,
-                            margin=args.margin, min_pos=args.min_pos,
-                            confirm_splits=2)
-    routed = route_ensemble(fused_test, routing, base=base)
-    routed_mAP = mAP(split(labels, test_idx), routed)
+    def fit_and_route(val_scores, test_scores):
+        routing = learn_routing(val_scores, split(labels, val_idx), base=base,
+                                margin=args.margin, min_pos=args.min_pos,
+                                confirm_splits=2)
+        routed = route_ensemble(test_scores, routing, base=base)
+        return routing, mAP(split(labels, test_idx), routed)
+
+    # the headline closed loop: routing over the members' standard scores
+    routing, routed_mAP = fit_and_route(merged_val, merged_test)
+    # and over the block-fused scores (the image-TTA pipeline shape; on this
+    # caption benchmark the token-window fusion is reported for completeness)
+    routing_fused, routed_fused_mAP = fit_and_route(fused_val, fused_test)
+
     best_single = max(report["members"].items(),
-                      key=lambda kv: kv[1]["fused_mAP"])
+                      key=lambda kv: kv[1]["alone_mAP"])
+    best_fused = max(report["members"].items(),
+                     key=lambda kv: kv[1]["fused_mAP"])
     summary = {
         "metric": "routed-ensemble mAP vs best single member (held-out labeled captions)",
         "routed_mAP": round(routed_mAP, 3),
         "best_single": best_single[0],
-        "best_single_mAP": best_single[1]["fused_mAP"],
-        "delta": round(routed_mAP - best_single[1]["fused_mAP"], 3),
+        "best_single_mAP": best_single[1]["alone_mAP"],
+        "delta": round(routed_mAP - best_single[1]["alone_mAP"], 3),
+        "routed_fused_mAP": round(routed_fused_mAP, 3),
+        "best_fused_mAP": best_fused[1]["fused_mAP"],
+        "delta_fused": round(routed_fused_mAP - best_fused[1]["fused_mAP"], 3),
         "base": base,
         "routed_classes": {m: len(c) for m, c in routing.items()},
         "margin": args.margin,
@@ -200,8 +216,17 @@ def main():
         "score_seconds": round(score_s, 1),
         "members": report["members"],
     }
-    report.update(summary, routing={m: list(map(int, c))
-                                    for m, c in routing.items()})
+    report.update(summary,
+                  routing={m: list(map(int, c)) for m, c in routing.items()},
+                  routing_fused={m: list(map(int, c))
+                                 for m, c in routing_fused.items()})
+    np.savez_compressed(
+        os.path.join(ws, "ensemble_scores.npz"), labels=labels,
+        val_idx=val_idx, test_idx=test_idx,
+        **{f"merged_val_{m}": merged_val[m] for m in per_model},
+        **{f"merged_test_{m}": merged_test[m] for m in per_model},
+        **{f"fused_val_{m}": fused_val[m] for m in per_model},
+        **{f"fused_test_{m}": fused_test[m] for m in per_model})
     out_path = os.path.join(ws, "ensemble_accuracy.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
