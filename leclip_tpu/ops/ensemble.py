@@ -147,6 +147,8 @@ def learn_routing(
     names = [n for n in per_model_val if n != base]
     if base not in per_model_val:
         raise ValueError(f"base member {base!r} missing from per_model_val")
+    if not names:  # single-member "ensemble": nothing to route
+        return {}
     labels = np.asarray(labels)
     n_val, n_cls = labels.shape
     folds = [slice(None)]

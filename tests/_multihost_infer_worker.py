@@ -71,9 +71,14 @@ def run_infer(outdir, pid):
     mixed = make_images(uniform=False)
     out_uniform = engine.run_batch_fused(uniform)
     out_mixed = engine.run_batch_fused(mixed)
+    # partial batch: 5 images pad to the 4-device mesh multiple (8) and the
+    # sharded result is sliced back to 5 before the cross-process fetch
+    partial = make_images(uniform=True)[:5]
+    out_partial = engine.run_batch_fused(partial)
     piped = list(engine.run_batches_fused([uniform, mixed], depth=2))
     with open(os.path.join(outdir, f"infer_{pid}.pkl"), "wb") as f:
         pickle.dump({"uniform": out_uniform, "mixed": out_mixed,
+                     "partial": out_partial,
                      "piped": [np.asarray(p) for p in piped]}, f)
     print(f"infer worker {pid} ok", flush=True)
 

@@ -159,8 +159,13 @@ def test_two_process_fused_inference_matches_single_process(tmp_path):
     train_caption.py:176-179 — inference here exceeds it)."""
     results = _run_workers("infer", tmp_path)
 
-    for key in ("uniform", "mixed"):
+    for key in ("uniform", "mixed", "partial"):
         np.testing.assert_array_equal(results[0][key], results[1][key])
+    # the padded-then-sliced partial batch scores its real rows identically
+    # to the full batch (same images, same program)
+    np.testing.assert_allclose(results[0]["partial"],
+                               results[0]["uniform"][:5], rtol=1e-4, atol=1e-4)
+    assert results[0]["partial"].shape[0] == 5
     for a, b in zip(results[0]["piped"], results[1]["piped"]):
         np.testing.assert_array_equal(a, b)
     # pipelined fetches return the same scores as the one-shot calls
