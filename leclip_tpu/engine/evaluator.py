@@ -157,6 +157,8 @@ class AveragePrecisionMeter:
         """Same suite with predictions restricted to each row's top-k scores
         AND a non-negative raw score (ref evaluator.py:382-396: top-k slots
         get +1 when the raw score is ≥ 0, −1 otherwise; the rest −1)."""
+        if not self._scores:
+            return 0
         scores, targets = self._stacked()
         n = scores.shape[0]
         marked = np.full_like(scores, -1.0)
@@ -185,7 +187,13 @@ def voc2012_mAP(prediction: np.ndarray, class_num: int,
     confidence, cumulate TP/FP (gt > 0 is positive), and apply
     :func:`voc_ap` to the resulting curve. With ``seen_index``/
     ``unseen_index`` returns (seen mAP, unseen mAP, overall mAP) for
-    base/novel class splits."""
+    base/novel class splits.
+
+    A class with zero positives in ``gt`` yields ``recall = tp/0`` → a
+    divide-by-zero warning and ``nan`` AP that propagates into the returned
+    means — the reference behaves identically (its ``recall`` divides by the
+    same unguarded count), so this is kept as parity; callers scoring
+    partially-labeled matrices should drop all-negative columns first."""
     prediction = np.asarray(prediction, dtype=np.float64)
     conf = prediction[:, :class_num]
     gt = prediction[:, class_num:].astype(np.int32)

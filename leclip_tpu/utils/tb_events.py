@@ -14,6 +14,7 @@ payload + masked-CRC32C of the payload)."""
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -77,12 +78,20 @@ def _event(wall_time: float, step: int = 0, file_version: str = "",
     return ev
 
 
+_writer_count = itertools.count()
+
+
 class EventFileWriter:
     """Append scalar events to one ``events.out.tfevents.*`` file."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
-        name = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        # pid + per-process counter uniquify the name: two writers opened in
+        # the same directory within the same second (resume, tests) must not
+        # append to ONE file and interleave TFRecords (matches the TF
+        # SummaryWriter convention of suffixing the filename)
+        name = (f"events.out.tfevents.{int(time.time())}."
+                f"{socket.gethostname()}.{os.getpid()}.{next(_writer_count)}")
         self._file = open(os.path.join(log_dir, name), "ab")
         self._record(_event(time.time(), file_version="brain.Event:2"))
 

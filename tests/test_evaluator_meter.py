@@ -129,3 +129,11 @@ def test_voc2012_map_matches_reference():
     want3 = ns["Compute_mAP_VOC2012"](pred.copy(), c, seen, unseen)
     got3 = voc2012_mAP(pred, c, seen, unseen)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want3), rtol=1e-10)
+
+
+def test_meter_empty_returns_zero_everywhere():
+    # ADVICE r4: overall_topk on an empty meter must behave like overall()
+    m = AveragePrecisionMeter()
+    assert m.overall() == 0
+    assert m.overall_topk(3) == 0
+    assert m.value().shape == (0,)

@@ -121,3 +121,20 @@ def test_metrics_writer_mirrors_to_tensorboard(tmp_path):
     m2.write_scalar("x", 1.0, 1)
     m2.close()
     assert not glob.glob(str(tmp_path / "notb" / "tb" / "*"))
+
+
+def test_two_writers_same_second_get_distinct_files(tmp_path):
+    # ADVICE r4: same host + same second must not interleave one TFRecord
+    # stream — filenames carry pid + a per-process counter
+    w1 = EventFileWriter(str(tmp_path))
+    w2 = EventFileWriter(str(tmp_path))
+    w1.add_scalar("a", 1.0, 1)
+    w2.add_scalar("b", 2.0, 1)
+    w1.close()
+    w2.close()
+    paths = sorted(glob.glob(str(tmp_path / "events.out.tfevents.*")))
+    assert len(paths) == 2
+    for p in paths:  # each file independently well-formed
+        records = _read_records(p)
+        assert _decode_scalar(records[0])[3] == "brain.Event:2"
+        assert len(records) == 2
