@@ -71,6 +71,14 @@ PRESETS = {
         768, 224, 24, 1024, 14,
         transformer_width=768, transformer_heads=12, transformer_layers=12,
     ),
+    # trainable-from-scratch tiny tower for the labeled synthetic IMAGE
+    # closed loop (scripts/image_rehearsal.py): big enough to learn the
+    # 80 procedural glyph classes contrastively, small enough to pretrain
+    # in minutes on one chip
+    "RN-SYN": CLIPConfig(
+        128, 64, (1, 1, 1, 1), 16, None,
+        transformer_width=128, transformer_heads=4, transformer_layers=4,
+    ),
     # miniature towers for CI / smoke runs (not real CLIP geometries)
     "RN-TEST": CLIPConfig(
         64, 64, (1, 1, 1, 1), 8, None,

@@ -185,7 +185,11 @@ def synth_workspace(ws: str, scale: float, seed: int = 0) -> str:
 
 def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
                precision: str, repo_root: str, extra_opts=(),
-               backbone: str = "RN50") -> dict:
+               backbone: str = "RN50", clip_params=None) -> dict:
+    """``clip_params`` (host fp32 pytree) overrides the default random init —
+    the image closed loop (scripts/image_rehearsal.py) passes its
+    contrastively-pretrained towers so prompts train against REAL
+    image-aligned text features."""
     import jax
     import jax.numpy as jnp
 
@@ -227,11 +231,12 @@ def run_recipe(name: str, yaml_name: str, seed: int, pick: int, ws: str,
     rec["samples"] = int(len(dataset))
 
     clip_cfg = PRESETS[backbone]
-    # random init: real OpenAI weights are unobtainable here (zero egress);
-    # identical compute and memory traffic to trained weights
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
-                                       dtype=jnp.float32)
+    if clip_params is None:
+        # random init: real OpenAI weights are unobtainable here (zero
+        # egress); identical compute and memory traffic to trained weights
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            clip_params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
+                                           dtype=jnp.float32)
     trainer = build_trainer(cfg, clip_params, clip_cfg, dataset=dataset)
     t2 = time.perf_counter()
 

@@ -44,6 +44,7 @@ from leclip_tpu.engine.trainer import CaptionDistillTrainer
 from leclip_tpu.models.clip import CLIPConfig, init_clip_params
 from leclip_tpu.models.dense_clip import encode_captions, train_logits_from_features
 from leclip_tpu.ops.quant import quantize_block_stack
+from leclip_tpu.ops.quant_stress import fitted_channel_scales, inject_outliers
 from leclip_tpu.parallel.mesh import shard_batch
 
 import pytest
@@ -70,42 +71,9 @@ def synth(n, seed):
     return tokenize(texts), np.stack(labels)
 
 
-def fitted_channel_scales(layers: int, width: int, seed: int = 7,
-                          sigma: float = 0.25, outlier_frac: float = 0.008,
-                          outlier_mult: float = 50.0) -> np.ndarray:
-    """Per-channel activation-scale profile fitted to the published CLIP/LLM
-    activation statistics (LLM.int8 §3 / SmoothQuant §3: the channel scale
-    distribution is mildly log-normal with <1% of channels carrying
-    systematic 20-100× outlier magnitude). Returns [layers, width]
-    multipliers: log-normal body (σ≈0.25) plus ~0.8% channels at 50×."""
-    rng = np.random.default_rng(seed)
-    m = np.exp(rng.normal(0.0, sigma, (layers, width))).astype(np.float32)
-    n_out = round(outlier_frac * width) if outlier_frac else 0
-    for layer in range(layers):
-        if n_out:
-            m[layer, rng.choice(width, n_out, replace=False)] *= outlier_mult
-    return m
-
-
-def inject_outliers(blocks: dict, mult: float, channels=(5, 17, 42),
-                    heavy_tail: bool = False) -> dict:
-    """Function-preserving activation-outlier injection into a stacked
-    transformer block pytree: LN(x)*g+b channels scaled by m, the consuming
-    kernel's input rows divided by m → identical fp function, m× outlier
-    activations at the quantizer input. ``heavy_tail`` additionally spreads
-    the fitted log-normal profile over ALL channels (real-weight-statistics
-    stress on top of the pinned hard outliers)."""
-    layers, width = np.asarray(blocks["ln_1"]["scale"]).shape
-    m = np.ones((layers, width), np.float32)
-    if heavy_tail:
-        m = m * fitted_channel_scales(layers, width, outlier_frac=0.0)
-    m[:, list(channels)] = mult
-    b = jax.tree.map(lambda x: x, blocks)  # shallow-copy pytree
-    b["ln_1"] = {"scale": b["ln_1"]["scale"] * m, "bias": b["ln_1"]["bias"] * m}
-    b["attn"] = dict(b["attn"], qkv_kernel=b["attn"]["qkv_kernel"] / m[:, :, None])
-    b["ln_2"] = {"scale": b["ln_2"]["scale"] * m, "bias": b["ln_2"]["bias"] * m}
-    b["mlp"] = dict(b["mlp"], fc_kernel=b["mlp"]["fc_kernel"] / m[:, :, None])
-    return b
+# fitted_channel_scales / inject_outliers moved to
+# leclip_tpu/ops/quant_stress.py (shared with the real-width convergence
+# gate, scripts/quant_gate_realwidth.py) — imported above.
 
 
 # Every tower geometry `TEST.PREC auto` (engine/config.py
