@@ -211,6 +211,13 @@ def train_members(ws: str, args, clip_params, repo_root: str) -> dict:
     synth_workspace(ws, args.corpus_scale)
     wanted = [r for r in RECIPES
               if not args.recipes or r[0] in args.recipes.split(",")]
+    extra = list(args.opts or [])
+    if args.smoke:
+        # cap the 80-epoch recipes for the CPU end-to-end check; picked
+        # epochs clamp to the capped last epoch so every member still lands
+        # in best_model/
+        extra += ["OPTIM.MAX_EPOCH", "2", "TRAIN.early_stop_epoch", "-1"]
+        wanted = [(n, y, s, min(p, 1)) for n, y, s, p in wanted]
     for name, yaml_name, seed, pick in wanted:
         if name in done:
             print(f"[image] phase B {name}: done (probe mAP "
@@ -218,7 +225,7 @@ def train_members(ws: str, args, clip_params, repo_root: str) -> dict:
             continue
         print(f"[image] phase B === {name} ({yaml_name}.yaml) ===", flush=True)
         rec = run_recipe(name, yaml_name, seed, pick, ws, args.precision,
-                         repo_root, extra_opts=args.opts or [],
+                         repo_root, extra_opts=extra,
                          backbone=args.backbone, clip_params=clip_params)
         with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
