@@ -390,44 +390,77 @@ def evaluate_images(ws: str, args, clip_params, clip_cfg, repo_root: str):
         print(f"[image] {name}: " + " ".join(
             f"{s.split('_')[0]}={row[s]}" for s in STAGES), flush=True)
 
-    # routed ensembles: fit on val half, report on test half
+    # routed ensembles at EVERY stage: base member chosen by validation mAP
+    # (the programmatic analogue of the reference hand-picking its strongest
+    # run as the base, gen_final_ans.py:152-158), fit on val, report on test
     routed = {}
-    for s in ("S1_gl_merge", "S4_fuse_retr", "S5_fuse_retr_freq"):
+    for s in STAGES:
         val_scores = {m: per_stage[m][s][val_idx] for m in per_stage}
         test_scores = {m: per_stage[m][s][test_idx] for m in per_stage}
-        routing = learn_routing(val_scores, labels[val_idx], base=base,
+        base_s = max(val_scores,
+                     key=lambda m: mAP(labels[val_idx], val_scores[m]))
+        routing = learn_routing(val_scores, labels[val_idx], base=base_s,
                                 margin=args.margin, min_pos=args.min_pos,
                                 confirm_splits=2)
-        fused = route_ensemble(test_scores, routing, base=base)
+        fused = route_ensemble(test_scores, routing, base=base_s)
         routed[s] = {
             "routed_mAP": round(mAP(labels[test_idx], fused), 3),
+            "base": base_s,
             "routed_classes": {m: len(c) for m, c in routing.items()},
             "routing": {m: list(map(int, c)) for m, c in routing.items()},
         }
-        print(f"[image] routed@{s}: {routed[s]['routed_mAP']}", flush=True)
+        print(f"[image] routed@{s}: {routed[s]['routed_mAP']} "
+              f"(base {base_s})", flush=True)
+
+    np.savez_compressed(
+        os.path.join(ws, "image_stage_scores.npz"), labels=labels,
+        val_idx=val_idx, test_idx=test_idx,
+        **{f"{m}_{s}": per_stage[m][s] for m in per_stage for s in STAGES})
 
     best_by_stage = {
         s: max((report["members"][m][s], m) for m in report["members"])
         for s in STAGES}
+    per_member_deltas = {
+        m: {"block_agg": round(report["members"][m]["S2_block_agg"]
+                               - report["members"][m]["S1_gl_merge"], 3),
+            "retrieval": round(report["members"][m]["S4_fuse_retr"]
+                               - report["members"][m]["S3_fuse_noretr"], 3),
+            "use_freq": round(report["members"][m]["S5_fuse_retr_freq"]
+                              - report["members"][m]["S4_fuse_retr"], 3)}
+        for m in report["members"]}
     summary = {
         "metric": "image-benchmark per-stage mAP (labeled synthetic glyph scenes)",
         "best_member_per_stage": {s: {"member": m, "mAP": v}
                                   for s, (v, m) in best_by_stage.items()},
         "routed": {s: routed[s]["routed_mAP"] for s in routed},
-        "fuse_helps_on_images": bool(
-            best_by_stage["S4_fuse_retr"][0] > best_by_stage["S1_gl_merge"][0]),
         "block_agg_helps": bool(
             best_by_stage["S2_block_agg"][0] > best_by_stage["S1_gl_merge"][0]),
-        "retrieval_delta": round(best_by_stage["S4_fuse_retr"][0]
-                                 - best_by_stage["S3_fuse_noretr"][0], 3),
-        "freq_delta": round(best_by_stage["S5_fuse_retr_freq"][0]
-                            - best_by_stage["S4_fuse_retr"][0], 3),
+        "fuse_helps_on_images": bool(
+            max(best_by_stage["S3_fuse_noretr"][0],
+                best_by_stage["S4_fuse_retr"][0])
+            > best_by_stage["S1_gl_merge"][0]),
+        "per_member_stage_deltas": per_member_deltas,
+        # NOTE: benchmark labels are drawn INDEPENDENTLY per class, so the
+        # training-corpus co-occurrence matrix carries no structure here —
+        # use_freq cannot help on this benchmark BY CONSTRUCTION; its delta
+        # measures the cost of modulating with an uninformative P-hat, not
+        # the stage's value on correlated real data
         "score_seconds": round(score_s, 1),
         "bank_rows": int(bank.shape[0]) if bank is not None else 0,
         "n_test_images": n,
         "tta_scales": list(cfg.TEST.multi_scale),
         "margin": args.margin, "min_pos": args.min_pos,
     }
+    # embed the upstream phases' context so the artifact is self-contained
+    try:
+        with open(os.path.join(ws, "clip", "pretrain_log.json")) as f:
+            report["pretrain"] = json.load(f)
+        with open(os.path.join(ws, "rehearsal_results.jsonl")) as f:
+            report["members_caption_probe_mAP"] = {
+                r["recipe"]: r["probe_mAP"]
+                for r in (json.loads(l) for l in f)}
+    except FileNotFoundError:
+        pass
     report.update(summary, routed_detail=routed)
     out = os.path.join(ws, "image_accuracy.json")
     with open(out, "w") as f:
