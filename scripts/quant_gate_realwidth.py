@@ -64,6 +64,16 @@ def build_corpus(n: int, seed: int):
     return np.asarray(tokenize(captions), np.int32), np.stack(labels)
 
 
+_CORPUS_CACHE = {}
+
+
+def _corpus(n: int, seed: int):
+    key = (n, seed)
+    if key not in _CORPUS_CACHE:
+        _CORPUS_CACHE[key] = build_corpus(n, seed)
+    return _CORPUS_CACHE[key]
+
+
 def run_geometry(name: str, width: int, heads: int, layers: int, args) -> dict:
     import jax
     import jax.numpy as jnp
@@ -95,8 +105,8 @@ def run_geometry(name: str, width: int, heads: int, layers: int, args) -> dict:
     clip_params["text"]["blocks"] = apply_outlier_profile(
         clip_params["text"]["blocks"], profile)
 
-    tokens, labels = build_corpus(args.captions, seed=0)
-    probe_tokens, probe_labels = build_corpus(args.probe, seed=123)
+    tokens, labels = _corpus(args.captions, seed=0)
+    probe_tokens, probe_labels = _corpus(args.probe, seed=123)
     ds = CaptionDataset(tokens, labels, [], list(COCO_OBJECT_CATEGORIES))
     cfg = setup_config(opts=[
         "OPTIM.MAX_EPOCH", str(args.epochs), "OPTIM.LR", str(args.lr),
@@ -108,18 +118,21 @@ def run_geometry(name: str, width: int, heads: int, layers: int, args) -> dict:
     tr = CaptionDistillTrainer(cfg, clip_params, clip_cfg, dataset=ds)
     q8 = quantize_block_stack(tr.clip_params["text"]["blocks"])
 
+    # clip params / prompt constants are jit ARGUMENTS — closed-over arrays
+    # become HLO constants and a 768-wide tower's ~150 MB overflows the
+    # remote-compile request (HTTP 413; STATUS.md environment lessons)
     @jax.jit
-    def score_chunk(pp, toks, q8_arg):
-        feats = encode_captions(tr.clip_params, clip_cfg, toks, tr.flags,
-                                q8=q8_arg)
+    def score_chunk(cp, consts, pp, toks, q8_arg):
+        feats = encode_captions(cp, clip_cfg, toks, tr.flags, q8=q8_arg)
         return train_logits_from_features(
-            tr.clip_params, clip_cfg, pp, tr.constants, feats, tr.flags)
+            cp, clip_cfg, pp, consts, feats, tr.flags)
 
     def probe_map(q8_arg):
         pp = jax.device_get(tr.state.params)
         outs, bs = [], 500
         for i in range(0, len(probe_tokens), bs):
-            o, ol = score_chunk(pp, jnp.asarray(probe_tokens[i:i + bs]), q8_arg)
+            o, ol = score_chunk(tr.clip_params, tr.constants, pp,
+                                jnp.asarray(probe_tokens[i:i + bs]), q8_arg)
             outs.append(0.5 * np.asarray(o, np.float32)
                         + 0.5 * np.asarray(ol, np.float32))
         return mAP(probe_labels, np.concatenate(outs))
@@ -193,14 +206,16 @@ def main():
         if args.geometries and str(w) not in args.geometries.split(","):
             continue
         results.append(run_geometry(gname, w, h, l, args))
-    out = {
-        "metric": "real-width int8 task-level probe-mAP delta (bound 0.2)",
-        "results": results,
-        "all_pass": all(r["pass"] for r in results),
-        "backend": jax.default_backend(),
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+        # write after every geometry: a tunnel failure on a later geometry
+        # must not lose an earlier measured result
+        out = {
+            "metric": "real-width int8 task-level probe-mAP delta (bound 0.2)",
+            "results": results,
+            "all_pass": all(r["pass"] for r in results),
+            "backend": jax.default_backend(),
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("metric", "all_pass")}
                      | {"deltas": {r["geometry"]: r["delta"]
                                    for r in results}}))
