@@ -118,20 +118,22 @@ def run_geometry(name: str, width: int, heads: int, layers: int, args) -> dict:
     tr = CaptionDistillTrainer(cfg, clip_params, clip_cfg, dataset=ds)
     q8 = quantize_block_stack(tr.clip_params["text"]["blocks"])
 
-    # clip params / prompt constants are jit ARGUMENTS — closed-over arrays
-    # become HLO constants and a 768-wide tower's ~150 MB overflows the
-    # remote-compile request (HTTP 413; STATUS.md environment lessons)
+    # clip params are a jit ARGUMENT — closed-over arrays become HLO
+    # constants and a 768-wide tower's ~150 MB overflows the remote-compile
+    # request (HTTP 413; STATUS.md environment lessons). tr.constants stays
+    # a closure: it holds non-array leaves (class_token_position) and its
+    # arrays are ~20 MB.
     @jax.jit
-    def score_chunk(cp, consts, pp, toks, q8_arg):
+    def score_chunk(cp, pp, toks, q8_arg):
         feats = encode_captions(cp, clip_cfg, toks, tr.flags, q8=q8_arg)
         return train_logits_from_features(
-            cp, clip_cfg, pp, consts, feats, tr.flags)
+            cp, clip_cfg, pp, tr.constants, feats, tr.flags)
 
     def probe_map(q8_arg):
         pp = jax.device_get(tr.state.params)
         outs, bs = [], 500
         for i in range(0, len(probe_tokens), bs):
-            o, ol = score_chunk(tr.clip_params, tr.constants, pp,
+            o, ol = score_chunk(tr.clip_params, pp,
                                 jnp.asarray(probe_tokens[i:i + bs]), q8_arg)
             outs.append(0.5 * np.asarray(o, np.float32)
                         + 0.5 * np.asarray(ol, np.float32))
