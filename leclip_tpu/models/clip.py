@@ -79,6 +79,13 @@ PRESETS = {
         128, 64, (1, 1, 1, 1), 16, None,
         transformer_width=128, transformer_heads=4, transformer_layers=4,
     ),
+    # ViT-B's REAL vision geometry (768 wide × 12 layers, the auto-int8
+    # surface) on 64px inputs — trainable on the glyph benchmark, used by
+    # the real-width VISION int8 task gate (scripts/quant_gate_realwidth.py)
+    "ViT-SYN": CLIPConfig(
+        512, 64, 12, 768, 16,
+        transformer_width=256, transformer_heads=4, transformer_layers=4,
+    ),
     # miniature towers for CI / smoke runs (not real CLIP geometries)
     "RN-TEST": CLIPConfig(
         64, 64, (1, 1, 1, 1), 8, None,

@@ -177,6 +177,91 @@ def run_geometry(name: str, width: int, heads: int, layers: int, args) -> dict:
     return rec
 
 
+def run_vision_gate(args) -> dict:
+    """Real-geometry VISION int8 task gate: ViT-B's actual vision tower
+    (768 wide × 12 layers — what `TEST.PREC auto` → int8 actually
+    quantizes, inference/tta.py `_q8`) trained contrastively on the glyph
+    image benchmark, fitted outlier profile injected function-preservingly
+    into the VISUAL blocks, zero-shot image probe scored through the fp
+    tower vs the W8A8 pallas kernels; |mAP delta| must stay inside ±0.2."""
+    import argparse as _ap
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_rehearsal import make_eval_images, normalize_batch, pretrain_clip
+    from leclip_tpu.data.tokenizer import tokenize
+    from leclip_tpu.data.vocab import COCO_OBJECT_CATEGORIES
+    from leclip_tpu.engine.evaluator import mAP
+    from leclip_tpu.models.clip import clip_encode_image, clip_encode_text
+    from leclip_tpu.ops.quant import quantize_stack_on_device
+    from leclip_tpu.ops.quant_stress import (apply_outlier_profile,
+                                             fitted_channel_scales)
+
+    classnames = list(COCO_OBJECT_CATEGORIES)
+    ws = args.vision_workspace
+    ns = _ap.Namespace(backbone="ViT-SYN", pairs=args.vision_pairs,
+                       batch=256, epochs=args.vision_epochs, lr=args.vision_lr,
+                       zs_target=80.0, zs_eval_n=1000)
+    pre = pretrain_clip(ws, ns, classnames)
+    clip_cfg = pre["cfg"]
+    params = pre["params"]
+    layers, width = (clip_cfg.vision_layers, clip_cfg.vision_width)
+    profile = fitted_channel_scales(layers, width, seed=args.seed,
+                                    outlier_frac=args.outlier_frac,
+                                    outlier_mult=args.outlier_mult)
+    params = dict(params, visual=dict(
+        params["visual"],
+        blocks=apply_outlier_profile(params["visual"]["blocks"], profile)))
+
+    vimgs, vlabels = make_eval_images(args.probe, 999,
+                                      clip_cfg.image_resolution, classnames)
+    toks = jnp.asarray(tokenize([f"a photo of a {c}." for c in classnames]),
+                       jnp.int32)
+
+    @jax.jit
+    def text_fn(p, t):
+        f = clip_encode_text(p, clip_cfg, t)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    @jax.jit
+    def img_fn(p, x, q8_arg):
+        f = clip_encode_image(p, clip_cfg, x, q8=q8_arg)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    tf = np.asarray(text_fn(params, toks), np.float32)
+
+    def probe_map(q8_arg):
+        feats = []
+        for i in range(0, len(vimgs), 256):
+            x = jnp.asarray(normalize_batch(vimgs[i:i + 256]))
+            feats.append(np.asarray(img_fn(params, x, q8_arg), np.float32))
+        return mAP(vlabels, np.concatenate(feats) @ tf.T)
+
+    q8 = quantize_stack_on_device(
+        jax.tree.map(jnp.asarray, params["visual"]["blocks"]))
+    m_fp = probe_map(None)
+    m_i8 = probe_map(q8)
+    delta = abs(m_fp - m_i8)
+    rec = {
+        "geometry": "vision-768x12 (ViT-B visual — the TEST.PREC auto surface)",
+        "width": width, "layers": layers,
+        "outlier_frac": args.outlier_frac, "outlier_mult": args.outlier_mult,
+        "outlier_channels_per_layer": int(round(args.outlier_frac * width)),
+        "probe": int(len(vimgs)),
+        "pretrain_zs_mAP": pre["log"]["zs_mAP"],
+        "probe_mAP_fp": round(m_fp, 4),
+        "probe_mAP_int8": round(m_i8, 4),
+        "delta": round(delta, 4),
+        "bound": 0.2,
+        "pass": bool(delta < 0.2),
+    }
+    print(f"[vision-768x12] fp {m_fp:.4f} int8 {m_i8:.4f} "
+          f"delta {delta:.4f} -> {'PASS' if rec['pass'] else 'FAIL'}",
+          flush=True)
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--captions", type=int, default=20000)
@@ -188,7 +273,15 @@ def main():
     ap.add_argument("--outlier-frac", type=float, default=0.008)
     ap.add_argument("--outlier-mult", type=float, default=50.0)
     ap.add_argument("--geometries", default="",
-                    help="comma-separated width filter, e.g. '512'")
+                    help="comma-separated width filter, e.g. '512'; 'none' "
+                         "skips the text geometries entirely")
+    ap.add_argument("--vision", action="store_true",
+                    help="also run the real-geometry VISION gate "
+                         "(ViT-SYN pretrain on the glyph benchmark)")
+    ap.add_argument("--vision-workspace", default="/tmp/image_rehearsal_vit")
+    ap.add_argument("--vision-pairs", type=int, default=40_000)
+    ap.add_argument("--vision-epochs", type=int, default=20)
+    ap.add_argument("--vision-lr", type=float, default=5e-4)
     ap.add_argument("--out", default="quant_gate_realwidth.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
@@ -204,10 +297,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     results = []
-    for gname, (w, h, l) in GEOMETRIES.items():
-        if args.geometries and str(w) not in args.geometries.split(","):
-            continue
-        results.append(run_geometry(gname, w, h, l, args))
+
+    def flush():
         # write after every geometry: a tunnel failure on a later geometry
         # must not lose an earlier measured result
         out = {
@@ -218,6 +309,18 @@ def main():
         }
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
+        return out
+
+    out = {"results": []}
+    if args.geometries != "none":
+        for gname, (w, h, l) in GEOMETRIES.items():
+            if args.geometries and str(w) not in args.geometries.split(","):
+                continue
+            results.append(run_geometry(gname, w, h, l, args))
+            out = flush()
+    if args.vision:
+        results.append(run_vision_gate(args))
+        out = flush()
     print(json.dumps({k: out[k] for k in ("metric", "all_pass")}
                      | {"deltas": {r["geometry"]: r["delta"]
                                    for r in results}}))
