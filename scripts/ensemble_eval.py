@@ -126,8 +126,10 @@ def main():
     ap.add_argument("--seed", type=int, default=123,
                     help="benchmark seed (training corpora use seed 0)")
     ap.add_argument("--benchmark", default="default",
-                    choices=["default", "oot", "pairs", "hard"],
-                    help="caption distribution (see make_labeled_captions)")
+                    choices=["default", "oot", "pairs", "hard", "all"],
+                    help="caption distribution (see make_labeled_captions); "
+                         "'all' scores every benchmark in one process "
+                         "(bank + member load shared)")
     ap.add_argument("--sweep", action="store_true",
                     help="3x3 margin x min_pos routing sensitivity grid")
     ap.add_argument("--margin", type=float, default=0.02,
@@ -200,8 +202,24 @@ def main():
             print(f"[ensemble_eval] no tokenized corpus at {tok_path} — "
                   "retrieval sims zeroed", flush=True)
 
-    tokens, labels = make_labeled_captions(args.n, args.seed, args.benchmark)
-    print(f"[ensemble_eval] benchmark '{args.benchmark}': "
+    benchmarks = (["default", "oot", "pairs", "hard"]
+                  if args.benchmark == "all" else [args.benchmark])
+    for benchmark in benchmarks:
+        run_benchmark(benchmark, args, ws, cfg, clip_params, clip_cfg,
+                      specs, bank)
+
+
+def run_benchmark(benchmark, args, ws, cfg, clip_params, clip_cfg, specs,
+                  bank):
+    import jax  # noqa: F401  (jax configured by main)
+
+    from leclip_tpu.engine.evaluator import mAP
+    from leclip_tpu.inference.caption_eval import score_caption_benchmark
+    from leclip_tpu.ops.ensemble import (learn_routing, model_result,
+                                         route_ensemble)
+
+    tokens, labels = make_labeled_captions(args.n, args.seed, benchmark)
+    print(f"[ensemble_eval] benchmark '{benchmark}': "
           f"{len(tokens)} labeled captions, "
           f"{labels.sum(0).min():.0f}-{labels.sum(0).max():.0f} positives/class",
           flush=True)
@@ -278,7 +296,25 @@ def main():
         "score_seconds": round(score_s, 1),
         "members": report["members"],
     }
-    summary["benchmark"] = args.benchmark
+    summary["benchmark"] = benchmark
+    # zema/diff specialization diagnosis (VERDICT r4 next #3): even when
+    # routing doesn't select a member, count the classes where it beats the
+    # base on validation AP, and how routed classes overlap the hard set
+    from leclip_tpu.data.corpora import hard_class_indices
+    from leclip_tpu.engine.evaluator import average_precision
+
+    hard_set = set(hard_class_indices("total"))
+    n_cls = labels.shape[1]
+    val_lab = split(labels, val_idx)
+    ap_val = {m: np.array([average_precision(merged_val[m][:, c],
+                                             val_lab[:, c])
+                           for c in range(n_cls)]) for m in merged_val}
+    summary["val_ap_wins_vs_base"] = {
+        m: int(np.nansum(ap_val[m] > ap_val[base]))
+        for m in ap_val if m != base}
+    summary["routed_hard_overlap"] = {
+        m: [int(c) for c in cols if c in hard_set]
+        for m, cols in routing.items()}
     report.update(summary,
                   routing={m: list(map(int, c)) for m, c in routing.items()},
                   routing_fused={m: list(map(int, c))
@@ -306,15 +342,16 @@ def main():
               {k: v["delta_vs_best_single"] for k, v in grid.items()},
               flush=True)
     np.savez_compressed(
-        os.path.join(ws, "ensemble_scores.npz"), labels=labels,
+        os.path.join(ws, "ensemble_scores.npz" if benchmark == "default"
+                     else f"ensemble_scores_{benchmark}.npz"), labels=labels,
         val_idx=val_idx, test_idx=test_idx,
         **{f"merged_val_{m}": merged_val[m] for m in per_model},
         **{f"merged_test_{m}": merged_test[m] for m in per_model},
         **{f"fused_val_{m}": fused_val[m] for m in per_model},
         **{f"fused_test_{m}": fused_test[m] for m in per_model})
     out_path = os.path.join(
-        ws, "ensemble_accuracy.json" if args.benchmark == "default"
-        else f"ensemble_accuracy_{args.benchmark}.json")
+        ws, "ensemble_accuracy.json" if benchmark == "default"
+        else f"ensemble_accuracy_{benchmark}.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(summary))
