@@ -304,22 +304,37 @@ def _set_typed(node: Any, leaf: str, value: Any) -> None:
     object.__setattr__(node, leaf, value)
 
 
+# Vision-tower widths whose int8 path passed the REAL-GEOMETRY task-level
+# convergence gate (scripts/quant_gate_realwidth.py --vision, artifact
+# quant_gate_realwidth.json): ViT-B's 768×12 visual tower measured
+# |probe-mAP delta| = 0.023 on the labeled image benchmark under fitted
+# channel statistics at physical outlier density — well inside the
+# reference's ±0.2 tolerance. ViT-L's 1024-wide visual tower has NO
+# task-level gate (only distributional cosine floors), and its 768-wide
+# TEXT tower measurably BREACHES the bound (0.358 / 0.219 across two
+# outlier seeds), so ViT-L 'auto' conservatively stays bf16; explicit
+# TEST.PREC int8 remains available.
+GATE_VALIDATED_INT8_VISION_WIDTHS = frozenset({768})
+
+
 def resolve_test_precision(prec: str, clip_cfg, backend: Optional[str] = None) -> str:
     """Resolve TEST.PREC for a backbone — the single owner of the
     precision/backbone/backend compatibility rules.
 
     'auto' → the fastest precision whose accuracy is gate-validated for this
-    tower: int8 (W8A8 pallas kernels) for ViT backbones whose width fills the
-    TPU's 128-lane int8 tiles, ON a TPU backend — elsewhere the pallas
-    kernels would run in interpreter mode, orders of magnitude slower — and
-    bf16 otherwise (ResNet towers are conv-bound; the int8 transformer
-    kernels don't apply — measured no-go in scripts/probe_rn50_int8.py).
-    The int8 default is backed by the task-level probe-mAP gate in
-    tests/test_quant_gate.py (delta vs fp well inside the reference's ±0.2
-    tolerance, ref README.md:12-13); explicit 'fp32' reproduces the
+    tower: int8 (W8A8 pallas kernels) for ViT backbones whose vision width
+    passed the real-geometry task gate (GATE_VALIDATED_INT8_VISION_WIDTHS,
+    measured in quant_gate_realwidth.json; the in-suite convergence gate is
+    tests/test_quant_gate.py) AND fills the TPU's 128-lane int8 tiles, ON a
+    TPU backend — elsewhere the pallas kernels would run in interpreter
+    mode, orders of magnitude slower — and bf16 otherwise (ResNet towers
+    are conv-bound; the int8 transformer kernels don't apply — measured
+    no-go in scripts/probe_rn50_int8.py). Explicit 'fp32' reproduces the
     reference's clip_model.float() numerics. An explicit 'int8' that the
     engine would reject (non-ViT backbone, non-128-multiple width) degrades
-    to bf16 with a warning instead of crashing in TTAEngine.
+    to bf16 with a warning instead of crashing in TTAEngine; explicit
+    'int8' on an engine-compatible but non-gate-validated geometry (e.g.
+    ViT-L) is honored — the caller owns the accuracy risk.
     """
     if prec not in ("auto", "fp32", "bf16", "int8"):
         raise ValueError(f"TEST.PREC must be auto | fp32 | bf16 | int8, got {prec!r}")
@@ -333,7 +348,12 @@ def resolve_test_precision(prec: str, clip_cfg, backend: Optional[str] = None) -
         and backend == "tpu"
     )
     if prec == "auto":
-        return "int8" if int8_ok else "bf16"
+        return (
+            "int8"
+            if int8_ok
+            and clip_cfg.vision_width in GATE_VALIDATED_INT8_VISION_WIDTHS
+            else "bf16"
+        )
     if prec == "int8" and not int8_ok:
         import warnings
 

@@ -263,10 +263,22 @@ class CaptionDistillTrainer:
         caption_q8 = None
         if cfg.TRAIN.int8_captions:
             # W8A8 text tower for the FROZEN caption branch only (the prompt
-            # branch carries gradients and keeps full precision). Opt-in:
-            # quantization noise on the training targets is untested vs
-            # competition mAP.
+            # branch carries gradients and keeps full precision). Opt-in;
+            # the 512-wide text geometry is task-gate-validated (delta
+            # 0.047, quant_gate_realwidth.json) but 768-wide text BREACHES
+            # the ±0.2 bound — warn there.
             from ..ops.quant import quantize_stack_on_device
+
+            if clip_cfg.transformer_width > 512:
+                import warnings
+
+                warnings.warn(
+                    f"TRAIN.int8_captions at text width "
+                    f"{clip_cfg.transformer_width}: the real-geometry gate "
+                    "measured 768-wide causal text outside the ±0.2 "
+                    "probe-mAP bound (quant_gate_realwidth.json) — prefer "
+                    "the fused bf16 caption branch for >512-wide towers"
+                )
 
             caption_q8 = quantize_stack_on_device(
                 self.clip_params["text"]["blocks"], mesh=self.mesh

@@ -65,6 +65,17 @@ def build_caption_bank(
     if precision == "int8":
         from ..ops.quant import quantize_stack_on_device
 
+        if clip_cfg.transformer_width > 512:
+            import warnings
+
+            warnings.warn(
+                f"int8 caption encoding at text width "
+                f"{clip_cfg.transformer_width}: the real-geometry task gate "
+                "measured 768-wide causal text BREACHING the ±0.2 probe-mAP "
+                "bound under physical outlier statistics (0.358/0.219, "
+                "quant_gate_realwidth.json) — prefer precision='bf16' for "
+                ">512-wide text towers"
+            )
         q8 = quantize_stack_on_device(text_in["blocks"])
     elif precision == "bf16":
         text_in = jax.tree.map(

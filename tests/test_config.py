@@ -112,9 +112,12 @@ def test_reference_recipe_map_complete():
 
 
 def test_resolve_test_precision():
-    """TEST.PREC 'auto' → int8 only for ViT towers that fill the TPU's
-    128-lane int8 tiles AND a TPU backend (interpreted pallas elsewhere);
-    an engine-incompatible explicit int8 degrades to bf16 with a warning;
+    """TEST.PREC 'auto' → int8 only for ViT towers whose vision width is
+    REAL-GEOMETRY gate-validated (quant_gate_realwidth.json: ViT-B's 768
+    passed at delta 0.023; ViT-L stays bf16 — its 1024 vision is ungated
+    and its 768 text breaches the ±0.2 bound) AND fill the TPU's 128-lane
+    int8 tiles AND a TPU backend (interpreted pallas elsewhere); an
+    engine-incompatible explicit int8 degrades to bf16 with a warning;
     fp32 stays available for bit-level reference parity."""
     import warnings
 
@@ -124,7 +127,10 @@ def test_resolve_test_precision():
     from leclip_tpu.models.clip import PRESETS
 
     assert resolve_test_precision("auto", PRESETS["ViT-B/16"], backend="tpu") == "int8"
-    assert resolve_test_precision("auto", PRESETS["ViT-L/14"], backend="tpu") == "int8"
+    # r5 policy change: ViT-L auto no longer selects int8 (measured —
+    # see docstring); explicit int8 stays available below
+    assert resolve_test_precision("auto", PRESETS["ViT-L/14"], backend="tpu") == "bf16"
+    assert resolve_test_precision("int8", PRESETS["ViT-L/14"], backend="tpu") == "int8"
     assert resolve_test_precision("auto", PRESETS["RN50"], backend="tpu") == "bf16"
     assert resolve_test_precision("auto", PRESETS["ViT-TEST"], backend="tpu") == "bf16"  # width 64
     # non-TPU backends never auto-select the pallas int8 path
