@@ -63,10 +63,20 @@ def test_ensemble_eval_script_end_to_end(tiny_ws, tmp_path):
     sys.argv = ["ensemble_eval.py", "--workspace", str(tiny_ws),
                 "--backbone", "RN-TEST", "--n", "48", "--batch", "24",
                 "--no-bank", "--cpu", "--min-pos", "1"]
+    import jax
+
     try:
         ensemble_eval.main()
     finally:
         sys.argv = argv
+        # main() enables the shared persistent compilation cache
+        # (/tmp/leclip_jax_cache); leave the SUITE's process out of it —
+        # that cache can hold XLA:CPU AOT entries compiled on a different
+        # host microarchitecture (the VM migrates between rounds), and
+        # loading one SIGILL-aborts the whole pytest process (observed
+        # 2026-08: deterministic 'Fatal Python error: Aborted' two files
+        # later in test_learning)
+        jax.config.update("jax_compilation_cache_dir", None)
 
     with open(tiny_ws / "ensemble_accuracy.json") as f:
         report = json.load(f)
