@@ -86,6 +86,12 @@ PRESETS = {
         512, 64, 12, 768, 16,
         transformer_width=256, transformer_heads=4, transformer_layers=4,
     ),
+    # ViT-L's real vision WIDTH (1024, 16 heads) at 12 layers — the other
+    # candidate auto-int8 vision geometry, gated the same way
+    "ViT-SYN-L": CLIPConfig(
+        512, 64, 12, 1024, 16,
+        transformer_width=256, transformer_heads=4, transformer_layers=4,
+    ),
     # miniature towers for CI / smoke runs (not real CLIP geometries)
     "RN-TEST": CLIPConfig(
         64, 64, (1, 1, 1, 1), 8, None,

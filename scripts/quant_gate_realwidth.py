@@ -200,7 +200,7 @@ def run_vision_gate(args) -> dict:
 
     classnames = list(COCO_OBJECT_CATEGORIES)
     ws = args.vision_workspace
-    ns = _ap.Namespace(backbone="ViT-SYN", pairs=args.vision_pairs,
+    ns = _ap.Namespace(backbone=args.vision_backbone, pairs=args.vision_pairs,
                        batch=256, epochs=args.vision_epochs, lr=args.vision_lr,
                        zs_target=80.0, zs_eval_n=1000)
     pre = pretrain_clip(ws, ns, classnames)
@@ -243,8 +243,14 @@ def run_vision_gate(args) -> dict:
     m_fp = probe_map(None)
     m_i8 = probe_map(q8)
     delta = abs(m_fp - m_i8)
+    label = {
+        "ViT-SYN": "vision-768x12 (ViT-B visual — the TEST.PREC auto surface)",
+        "ViT-SYN-L": "vision-1024x12 (ViT-L visual WIDTH at half its 24-layer "
+                     "depth — quantization noise compounds with depth, so a "
+                     "PASS here is necessary-not-sufficient for ViT-L)",
+    }.get(args.vision_backbone, f"vision-{width}x{layers}")
     rec = {
-        "geometry": "vision-768x12 (ViT-B visual — the TEST.PREC auto surface)",
+        "geometry": label,
         "width": width, "layers": layers,
         "outlier_frac": args.outlier_frac, "outlier_mult": args.outlier_mult,
         "outlier_channels_per_layer": int(round(args.outlier_frac * width)),
@@ -256,7 +262,7 @@ def run_vision_gate(args) -> dict:
         "bound": 0.2,
         "pass": bool(delta < 0.2),
     }
-    print(f"[vision-768x12] fp {m_fp:.4f} int8 {m_i8:.4f} "
+    print(f"[vision-{width}x{layers}] fp {m_fp:.4f} int8 {m_i8:.4f} "
           f"delta {delta:.4f} -> {'PASS' if rec['pass'] else 'FAIL'}",
           flush=True)
     return rec
@@ -278,6 +284,8 @@ def main():
     ap.add_argument("--vision", action="store_true",
                     help="also run the real-geometry VISION gate "
                          "(ViT-SYN pretrain on the glyph benchmark)")
+    ap.add_argument("--vision-backbone", default="ViT-SYN",
+                    help="ViT-SYN (768-wide, ViT-B) or ViT-SYN-L (1024-wide)")
     ap.add_argument("--vision-workspace", default="/tmp/image_rehearsal_vit")
     ap.add_argument("--vision-pairs", type=int, default=40_000)
     ap.add_argument("--vision-epochs", type=int, default=20)
